@@ -123,12 +123,13 @@ def closure_pairs(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic-closure nearest-neighbor pairs between sides R and S.
 
-    Parameters: rt, st — event times, each sorted ascending. delta — optional
-    max |r.t - s.t| band (None = unbounded, reference default).
-    Returns (r_idx, s_idx) index pairs, deduped, band-filtered.
+    Parameters: rt, st — event times, each sorted ascending (float seconds or
+    int64 epoch-micros; dtype is preserved to avoid float rounding of large
+    epochs). delta — optional max |r.t - s.t| band in the same unit (None =
+    unbounded, reference default). Returns (r_idx, s_idx), deduped, filtered.
     """
-    rt = np.asarray(rt, dtype=np.float64)
-    st = np.asarray(st, dtype=np.float64)
+    rt = np.asarray(rt)
+    st = np.asarray(st)
     a_r, a_s = _closure_one_direction(rt, st)  # x-side = R
     b_s, b_r = _closure_one_direction(st, rt)  # x-side = S (swapped roles)
     ri = np.concatenate([a_r, b_r])
@@ -153,7 +154,12 @@ def _replay_one_direction(
 
     # E1 [JR2@y]: x in event gap (pred_Y(y).t, y.t), arrived before y.
     # "arrived before y" clips the x-range to the arrival prefix of X.
-    gap_lo = np.searchsorted(xt, np.concatenate(([-np.inf], yt[:-1])), side="right")
+    pred_yt = np.empty_like(yt)
+    pred_yt[0] = (
+        np.finfo(yt.dtype).min if yt.dtype.kind == "f" else np.iinfo(yt.dtype).min
+    )
+    pred_yt[1:] = yt[:-1]
+    gap_lo = np.searchsorted(xt, pred_yt, side="right")
     gap_hi = np.searchsorted(xt, yt, side="left")
     kx = np.searchsorted(xa, ya)  # #X arrived before each y
     owner_y, xi = expand_ranges(gap_lo, np.minimum(gap_hi, kx))
@@ -194,8 +200,8 @@ def replay_join_pairs(
     rt/st: per-side event times sorted ascending; ra/sa: global arrival ranks
     (each strictly increasing). Returns (r_idx, s_idx), deduped, band-filtered.
     """
-    rt = np.asarray(rt, dtype=np.float64)
-    st = np.asarray(st, dtype=np.float64)
+    rt = np.asarray(rt)
+    st = np.asarray(st)
     ra = np.asarray(ra, dtype=np.int64)
     sa = np.asarray(sa, dtype=np.int64)
     x_r, y_s = _replay_one_direction(rt, ra, st, sa)  # r earlier

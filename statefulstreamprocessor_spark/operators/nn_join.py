@@ -1,0 +1,199 @@
+"""Deterministic closure nearest-neighbor time-series join — pure Catalyst.
+
+The production form of the reference's LocalStreamBuffer pairwise join
+(reference ``05_LocalStreamBuffer/local_stream_buffer.py:237-315``): every
+record pairs with its nearest other-side neighbor in each time direction,
+with the backward ("previous-partner") pairing confirmed only when the
+record also has a forward other-side partner — exactly the pair set the
+reference emits under event-time-ordered arrival, and a deterministic,
+arrival-order-invariant superset of what it emits under any other
+interleaving (the guarantee its README:219-233 advertises).
+
+Physical plan (scale notes):
+  one hash exchange on the join key → ascending sort → running-``last``
+  window pass (streaming frame, O(n)) → descending sort (reuses the
+  exchange, sort only) → second running pass → explode of per-row pair
+  candidates. No join operator, no state blow-up, no O(n²) frames; per-key
+  cost is O(n log n) and keys parallelize perfectly across executors. For
+  hot-key skew see ``salted_nn_join`` guidance in streaming/pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["nn_join", "PAIR_LEFT_PREFIX", "PAIR_RIGHT_PREFIX"]
+
+PAIR_LEFT_PREFIX = "r_"
+PAIR_RIGHT_PREFIX = "s_"
+
+
+def _side_struct(df: DataFrame, keys: list[str], ts_col: str) -> Column:
+    payload = [c for c in df.columns if c not in keys]
+    return F.struct(*[F.col(c) for c in payload])
+
+
+def nn_join(
+    df_r: DataFrame,
+    df_s: DataFrame,
+    keys: list[str] | str,
+    ts_col: str,
+    delta: float | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Closure nearest-neighbor join of two event streams/tables.
+
+    Parameters
+    ----------
+    df_r, df_s : inputs; must both contain ``keys`` and ``ts_col``. ``ts_col``
+        may be TimestampType or numeric (epoch seconds).
+    keys : equality join key column(s) — the per-series identity (the
+        reference's ``thing.quantity`` Kafka key, simulatorToKafka.py:66).
+    delta : optional max |t_r - t_s| in seconds (reference's delta_time band,
+        local_stream_buffer.py:117-118). None = unbounded.
+    tiebreak : optional column name present in both inputs used to total-order
+        records with equal (ts, side); defaults to ts-only ordering (ties
+        between sides order R before S).
+
+    Returns columns: keys + ``r_<col>`` for every non-key column of df_r +
+    ``s_<col>`` for every non-key column of df_s.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    r_payload = [c for c in df_r.columns if c not in keys]
+    s_payload = [c for c in df_s.columns if c not in keys]
+
+    merged = df_r.select(
+        *keys,
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in r_payload]).alias("__rp"),
+        F.lit(None).cast(
+            df_s.select(F.struct(*[F.col(c) for c in s_payload]).alias("x")).schema[
+                "x"
+            ].dataType
+        ).alias("__sp"),
+    ).unionByName(
+        df_s.select(
+            *keys,
+            F.col(ts_col).alias("__ts"),
+            F.lit(1).alias("__side"),
+            F.lit(None).cast(
+                df_r.select(
+                    F.struct(*[F.col(c) for c in r_payload]).alias("x")
+                ).schema["x"].dataType
+            ).alias("__rp"),
+            F.struct(*[F.col(c) for c in s_payload]).alias("__sp"),
+        )
+    )
+
+    order_asc = [F.col("__ts").asc(), F.col("__side").asc()]
+    order_desc = [F.col("__ts").desc(), F.col("__side").desc()]
+    if tiebreak is not None:
+        # tiebreak lives inside the side structs; surface it for ordering
+        merged = merged.withColumn(
+            "__tb", F.coalesce(F.col(f"__rp.{tiebreak}"), F.col(f"__sp.{tiebreak}"))
+        )
+        order_asc.append(F.col("__tb").asc())
+        order_desc.append(F.col("__tb").desc())
+
+    w_asc = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_desc = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_lag = Window.partitionBy(*keys).orderBy(*order_asc)
+
+    is_r = F.col("__side") == 0
+    self_r = F.struct(F.col("__ts").alias("t"), F.col("__rp").alias("p"))
+    self_s = F.struct(F.col("__ts").alias("t"), F.col("__sp").alias("p"))
+
+    ann = merged.select(
+        *keys,
+        "__ts",
+        "__side",
+        "__rp",
+        "__sp",
+        F.last(F.when(is_r, self_r), ignorenulls=True).over(w_asc).alias("__prev_r"),
+        F.last(F.when(~is_r, self_s), ignorenulls=True).over(w_asc).alias("__prev_s"),
+        F.last(F.when(is_r, self_r), ignorenulls=True).over(w_desc).alias("__next_r"),
+        F.last(F.when(~is_r, self_s), ignorenulls=True).over(w_desc).alias("__next_s"),
+        F.lag("__side").over(w_lag).alias("__prev_any_side"),
+    )
+
+    prev_other = F.when(is_r, F.col("__prev_s")).otherwise(F.col("__prev_r"))
+    next_other = F.when(is_r, F.col("__next_s")).otherwise(F.col("__next_r"))
+
+    # pair struct normalized so the R-side record is always left (reference's
+    # role normalization, local_stream_buffer.py:369-376)
+    def pair(r_t: Column, r_p: Column, s_t: Column, s_p: Column) -> Column:
+        return F.struct(
+            r_t.alias("r_t"), r_p.alias("r_p"), s_t.alias("s_t"), s_p.alias("s_p")
+        )
+
+    # alpha: (self, earliest other-side at-or-after self) — unconditional
+    alpha = F.when(
+        next_other.isNotNull(),
+        F.when(
+            is_r,
+            pair(F.col("__ts"), F.col("__rp"), next_other["t"], next_other["p"]),
+        ).otherwise(
+            pair(next_other["t"], next_other["p"], F.col("__ts"), F.col("__sp"))
+        ),
+    )
+    # beta: (latest other-side at-or-before self, self), confirmed by the
+    # existence of a forward other-side partner; skipped when the immediately
+    # preceding record is other-side (then it duplicates that record's alpha)
+    beta = F.when(
+        prev_other.isNotNull()
+        & next_other.isNotNull()
+        & (F.col("__prev_any_side") == F.col("__side")),
+        F.when(
+            is_r,
+            pair(F.col("__ts"), F.col("__rp"), prev_other["t"], prev_other["p"]),
+        ).otherwise(
+            pair(prev_other["t"], prev_other["p"], F.col("__ts"), F.col("__sp"))
+        ),
+    )
+
+    pairs = ann.select(
+        *keys,
+        F.explode(
+            F.filter(F.array(alpha, beta), lambda x: x.isNotNull())
+        ).alias("__pair"),
+    )
+    if delta is not None:
+        ts_type = df_r.schema[ts_col].dataType.simpleString()
+        if ts_type.startswith("timestamp"):
+            # TIMESTAMP_NTZ has no direct double cast; go via TIMESTAMP (UTC session)
+            def secs(c: Column) -> Column:
+                return c.cast("timestamp").cast("double")
+        else:
+            def secs(c: Column) -> Column:
+                return c.cast("double")
+
+        dt = secs(F.col("__pair.r_t")) - secs(F.col("__pair.s_t"))
+        pairs = pairs.filter(F.abs(dt) <= F.lit(float(delta)))
+
+    out_cols = (
+        [F.col(k) for k in keys]
+        + [F.col("__pair.r_t").alias(f"{PAIR_LEFT_PREFIX}{ts_col}")]
+        + [
+            F.col(f"__pair.r_p.{c}").alias(f"{PAIR_LEFT_PREFIX}{c}")
+            for c in r_payload
+            if c != ts_col
+        ]
+        + [F.col("__pair.s_t").alias(f"{PAIR_RIGHT_PREFIX}{ts_col}")]
+        + [
+            F.col(f"__pair.s_p.{c}").alias(f"{PAIR_RIGHT_PREFIX}{c}")
+            for c in s_payload
+            if c != ts_col
+        ]
+    )
+    return pairs.select(*out_cols)
