@@ -37,8 +37,17 @@ def _event_sides(spark: SparkSession, sf_dir: str, left: str = "click",
     return r, s
 
 
-def _us(c):  # timestamp → epoch micros (bigint), UTC session
-    return F.unix_micros(F.col(c).cast("timestamp"))
+_NTZ_EPOCH = "1970-01-01 00:00:00"
+
+
+def _us(c) -> F.Column:
+    """TIMESTAMP_NTZ → epoch micros (bigint), independent of the session
+    timezone (a plain cast to TIMESTAMP would shift with it)."""
+    if isinstance(c, str):
+        c = F.col(c)
+    return F.timestamp_diff(
+        "MICROSECOND", F.lit(_NTZ_EPOCH).cast("timestamp_ntz"), c
+    )
 
 
 # ---------------------------------------------------------------- queries
@@ -51,10 +60,10 @@ def q_nn_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = nn_join(r, s, "user_id", "ts")
     return out.select(
         "user_id",
-        F.unix_micros(F.col("r_ts").cast("timestamp")).alias("r_ts_us"),
+        _us("r_ts").alias("r_ts_us"),
         F.col("r_event_id"),
         F.col("r_value"),
-        F.unix_micros(F.col("s_ts").cast("timestamp")).alias("s_ts_us"),
+        _us("s_ts").alias("s_ts_us"),
         F.col("s_event_id"),
         F.col("s_value"),
     )
@@ -68,9 +77,9 @@ def q_nn_pair_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = nn_join(r, s, "user_id", "ts", delta=7200.0)
     return out.select(
         "user_id",
-        F.unix_micros(F.col("r_ts").cast("timestamp")).alias("r_ts_us"),
+        _us("r_ts").alias("r_ts_us"),
         F.col("r_event_id"),
-        F.unix_micros(F.col("s_ts").cast("timestamp")).alias("s_ts_us"),
+        _us("s_ts").alias("s_ts_us"),
         F.col("s_event_id"),
     )
 
@@ -89,10 +98,10 @@ def q_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = asof_join(left, right, "user_id", "ts", direction="backward")
     return out.select(
         "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        _us("ts").alias("ts_us"),
         "event_id",
         "value",
-        F.unix_micros(F.col("right_ts").cast("timestamp")).alias("click_ts_us"),
+        _us("right_ts").alias("click_ts_us"),
         F.col("right_event_id").alias("click_event_id"),
     )
 
@@ -110,7 +119,7 @@ def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out.select(
-        F.unix_micros(F.col("window_start").cast("timestamp")).alias("ws_us"),
+        _us("window_start").alias("ws_us"),
         "event_type", "n", "sum_value",
     )
 
@@ -125,7 +134,7 @@ def q_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs=[F.count(F.lit(1)).alias("n")],
     )
     return out.select(
-        F.unix_micros(F.col("window_start").cast("timestamp")).alias("ws_us"),
+        _us("window_start").alias("ws_us"),
         "event_type", "n",
     )
 
@@ -141,8 +150,8 @@ def q_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "user_id",
-        F.unix_micros(F.col("session_start").cast("timestamp")).alias("ss_us"),
-        F.unix_micros(F.col("session_end").cast("timestamp")).alias("se_us"),
+        _us("session_start").alias("ss_us"),
+        _us("session_end").alias("se_us"),
         "n",
     )
 
@@ -153,7 +162,7 @@ def q_normalize_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from statefulstreamprocessor_spark.functions import normalize_epoch_seconds
 
     ev = _load(spark, sf_dir, "events")
-    base_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base_us = _us("ts")
     return ev.select(
         "event_id",
         F.round(normalize_epoch_seconds(F.floor(base_us / 1_000_000)), 6).alias("from_s"),
