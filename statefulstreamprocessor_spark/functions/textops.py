@@ -1,0 +1,141 @@
+"""Text operators for the webtext pipeline — all vectorized (Arrow/pandas).
+
+``html_to_text`` is the engine's canonical extractor (the target payload
+operator required by the production spec in place of the reference's sensor
+math, SURVEY §2.2): a deterministic, pure function of the html bytes, so
+its output is byte-identical per url across runs, engines and partitionings.
+It is exposed both as a plain Python function (oracle for tests / data
+generation) and as a ``pandas_udf`` (the only form allowed in the hot path —
+no per-row Python UDFs anywhere).
+
+Also: language id (stopword-hit heuristic), quality scoring, token
+counting, and fingerprinting for the training-data pipeline operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import html as _html
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+__all__ = [
+    "extract_text",
+    "html_to_text_udf",
+    "token_count_col",
+    "quality_score_cols",
+    "lang_id_udf",
+    "lang_id_py",
+    "fingerprint_md5",
+    "winnow_fingerprints",
+]
+
+_SCRIPT_RE = re.compile(rb"<(script|style)\b.*?</\1>", re.S | re.I)
+_TAG_RE = re.compile(rb"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_text(html_bytes: bytes) -> str:
+    """Canonical deterministic HTML→text extraction (pure function).
+
+    Strips script/style blocks, removes tags, unescapes entities, collapses
+    whitespace. Byte-identical per input across platforms (pure bytes/str
+    ops, no locale dependence).
+    """
+    if html_bytes is None:
+        return ""
+    no_script = _SCRIPT_RE.sub(b" ", html_bytes)
+    no_tags = _TAG_RE.sub(b" ", no_script)
+    text = no_tags.decode("utf-8", errors="replace")
+    text = _html.unescape(text)
+    return _WS_RE.sub(" ", text).strip()
+
+
+@F.pandas_udf(StringType())
+def html_to_text_udf(html: pd.Series) -> pd.Series:
+    """Arrow-batched extraction UDF — the hot-path form of extract_text."""
+    return html.map(extract_text)
+
+
+# ---------------------------------------------------------------- analysis
+
+def token_count_col(text_col):
+    """Whitespace token count as a pure column expression (JVM-side)."""
+    t = F.trim(text_col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def quality_score_cols(text_col):
+    """Heuristic quality features as pure column expressions:
+    n_chars, n_tokens, alpha_ratio, punct_ratio, mean_token_len."""
+    t = F.trim(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count_col(text_col)
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": F.round(alpha / F.greatest(n_chars, F.lit(1)), 6),
+        "punct_ratio": F.round(punct / F.greatest(n_chars, F.lit(1)), 6),
+        "mean_token_len": F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 6),
+    }
+
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "que", "pour", "une", "des"],
+    "es": ["el", "la", "los", "de", "que", "es", "en", "un", "por", "con"],
+}
+
+
+def lang_id_py(text: str) -> str:
+    """Stopword-hit language heuristic (deterministic tie-break by lang)."""
+    if not text:
+        return "und"
+    toks = set(re.split(r"\W+", text.lower()))
+    best, best_hits = "und", 0
+    for lang in sorted(_STOPWORDS):
+        hits = sum(1 for w in _STOPWORDS[lang] if w in toks)
+        if hits > best_hits:
+            best, best_hits = lang, hits
+    return best
+
+
+@F.pandas_udf(StringType())
+def lang_id_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: lang_id_py(t or ""))
+
+
+def fingerprint_md5(text_col):
+    """Whole-document fingerprint — md5 (identical in Spark and DuckDB)."""
+    return F.md5(text_col)
+
+
+def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
+    """Winnowing document fingerprint: min rolling-hash per window over
+    k-grams (robust local fingerprints for near-dup detection)."""
+    if not text or len(text) < k:
+        return []
+    hashes = [
+        int.from_bytes(
+            hashlib.blake2b(text[i : i + k].encode(), digest_size=8).digest(), "big"
+        )
+        for i in range(len(text) - k + 1)
+    ]
+    out = []
+    prev = None
+    for i in range(max(len(hashes) - window + 1, 1)):
+        w = hashes[i : i + window]
+        m = min(w)
+        pos = i + w.index(m)
+        if pos != prev:
+            out.append(m)
+            prev = pos
+    return out

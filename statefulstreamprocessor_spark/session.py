@@ -58,4 +58,10 @@ def get_spark(
         )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # make this package importable on executor python workers regardless of
+    # the driver's cwd — the library equivalent of spark-submit --py-files
+    from .shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    return spark

@@ -1,0 +1,126 @@
+"""Streaming closure join: golden parity, exactly-once resume, byte identity.
+
+Mirrors the reference's streaming test strategy
+(05_LocalStreamBuffer/test_kafka_eos_joiner.py): run the full pipeline to
+completion, assert joined output against the batch oracle, then re-run the
+same epoch and assert zero new rows (:285-286).
+"""
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from statefulstreamprocessor_spark import fixtures as fx
+from statefulstreamprocessor_spark.kernels import closure_pairs
+from statefulstreamprocessor_spark.operators import nn_join
+from statefulstreamprocessor_spark.sources.webtext import generate_webtext
+from statefulstreamprocessor_spark.streaming.pipeline import run_webtext_pipeline
+
+
+def _time_chunks(pdf: pd.DataFrame, n_files: int) -> list[pd.DataFrame]:
+    """Split into event-time-ordered chunks: later files only carry later
+    rows, so a 0-second watermark never declares anything late (the file
+    source is our Kafka stand-in; per-key order within a chunk still
+    shuffles freely)."""
+    s = pdf.sort_values("warc_ts", kind="mergesort").reset_index(drop=True)
+    step = (len(s) + n_files - 1) // n_files
+    return [
+        s.iloc[i * step : (i + 1) * step]
+        .sample(frac=1.0, random_state=i)  # arrival shuffle inside the chunk
+        .reset_index(drop=True)
+        for i in range(n_files)
+    ]
+
+
+def _write_webtext_files(tmpdir: str, pdf: pd.DataFrame, n_files: int) -> str:
+    d = os.path.join(tmpdir, "input")
+    os.makedirs(d, exist_ok=True)
+    for i, c in enumerate(_time_chunks(pdf, n_files)):
+        c.to_parquet(os.path.join(d, f"part-{i:03d}.parquet"), index=False)
+    return d
+
+
+@pytest.fixture(scope="module")
+def webtext_pdf():
+    return generate_webtext(600, n_domains=20, seed=7)
+
+
+def _expected_closure(spark, pdf, delta=None):
+    """Batch closure join over the same rows (the streaming oracle)."""
+    sdf = spark.createDataFrame(pdf[["url", "warc_ts", "side", "lang", "text"]])
+    r = sdf.filter(F.col("side") == "r").drop("side")
+    s = sdf.filter(F.col("side") == "s").drop("side")
+    out = nn_join(r, s, "url", "warc_ts", delta=delta)
+    return {
+        (row["url"], row["r_warc_ts"], row["s_warc_ts"])
+        for row in out.collect()
+    }
+
+
+def test_streaming_equals_batch_closure(spark, webtext_pdf, tmp_path):
+    input_dir = _write_webtext_files(str(tmp_path), webtext_pdf, n_files=5)
+    sink = run_webtext_pipeline(
+        spark, input_dir, str(tmp_path / "out"), watermark="0 seconds",
+        max_files_per_trigger=1, use_extractor=True,
+    )
+    got_df = sink.read(spark)
+    got = {
+        (r["url"], r["r_warc_ts"], r["s_warc_ts"]) for r in got_df.collect()
+    }
+    want = _expected_closure(spark, webtext_pdf)
+    assert got == want
+    # extractor parity inside the stream: joined text equals the oracle col
+    oracle = {
+        (row.url, row.warc_ts): row.text for row in spark.createDataFrame(
+            webtext_pdf[["url", "warc_ts", "text"]]
+        ).collect()
+    }
+    for r in got_df.limit(50).collect():
+        assert r["r_text"] == oracle[(r["url"], r["r_warc_ts"])]
+
+
+def test_streaming_exactly_once_rerun(spark, webtext_pdf, tmp_path):
+    input_dir = _write_webtext_files(str(tmp_path), webtext_pdf, n_files=3)
+    out_dir = str(tmp_path / "out")
+    sink1 = run_webtext_pipeline(spark, input_dir, out_dir, use_extractor=False)
+    n1 = sink1.row_count(spark)
+    assert n1 > 0
+    # round 2 over the same input + checkpoint ⇒ 0 new rows
+    # (reference test_kafka_eos_joiner.py:285-286)
+    sink2 = run_webtext_pipeline(spark, input_dir, out_dir, use_extractor=False)
+    assert sink2.row_count(spark) == n1
+
+
+def test_streaming_resume_after_partial_input(spark, webtext_pdf, tmp_path):
+    """Kill-and-resume: process half the files, then the rest from the same
+    checkpoint; union must equal the full closure with no dupes/gaps."""
+    input_dir = os.path.join(str(tmp_path), "input")
+    os.makedirs(input_dir)
+    chunks = _time_chunks(webtext_pdf, 4)
+    for i in (0, 1):
+        chunks[i].to_parquet(os.path.join(input_dir, f"part-{i:03d}.parquet"))
+    out_dir = str(tmp_path / "out")
+    run_webtext_pipeline(spark, input_dir, out_dir, use_extractor=False)
+    for i in (2, 3):
+        chunks[i].to_parquet(os.path.join(input_dir, f"part-{i:03d}.parquet"))
+    sink = run_webtext_pipeline(spark, input_dir, out_dir, use_extractor=False)
+    got_rows = sink.read(spark).collect()
+    got = [(r["url"], r["r_warc_ts"], r["s_warc_ts"]) for r in got_rows]
+    assert len(got) == len(set(got)), "duplicate pairs after resume"
+    want = _expected_closure(spark, webtext_pdf)
+    assert set(got) == want, (
+        f"missing={len(want - set(got))} extra={len(set(got) - want)}"
+    )
+
+
+def test_extractor_byte_identity(spark, webtext_pdf):
+    """input_hint per-row invariant: UDF output byte-identical per url."""
+    from statefulstreamprocessor_spark.functions.textops import html_to_text_udf
+
+    sdf = spark.createDataFrame(webtext_pdf[["url", "html", "text"]])
+    out = sdf.withColumn("extracted", html_to_text_udf("html"))
+    bad = out.filter(F.col("extracted") != F.col("text")).count()
+    assert bad == 0
