@@ -207,6 +207,181 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (training-data dedup op)."""
+    from statefulstreamprocessor_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for every 50th vector."""
+    from statefulstreamprocessor_spark.operators.similarity import cosine_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    out = cosine_topk(queries_df, emb, "vec_id", "embedding", k=5)
+    return out.select("q_vec_id", "neighbor_id", "sim", "rank")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language identification over documents."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\W+")
+    stop = {
+        "en": ["the", "and", "of", "to", "is", "in", "that", "with", "for", "was"],
+        "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von"],
+        "es": ["el", "la", "los", "de", "que", "es", "en", "un", "por", "con"],
+        "fr": ["le", "la", "les", "et", "est", "dans", "que", "pour", "une", "des"],
+    }
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in stop.items()
+    }
+    pred = (
+        F.when(
+            F.greatest(*hits.values()) <= 0, F.lit("und")
+        )
+        # argmax with deterministic alphabetical tie-break
+        .when((hits["de"] >= hits["en"]) & (hits["de"] >= hits["es"]) & (hits["de"] >= hits["fr"]), F.lit("de"))
+        .when((hits["en"] >= hits["es"]) & (hits["en"] >= hits["fr"]), F.lit("en"))
+        .when(hits["es"] >= hits["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        "doc_id",
+        hits["en"].alias("hits_en"),
+        hits["de"].alias("hits_de"),
+        hits["es"].alias("hits_es"),
+        hits["fr"].alias("hits_fr"),
+        pred.alias("lang_pred"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score features + md5 fingerprint over documents."""
+    from statefulstreamprocessor_spark.functions.textops import (
+        fingerprint_md5,
+        quality_score_cols,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    q = quality_score_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        q["alpha_ratio"].alias("alpha_ratio"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["mean_token_len"].alias("mean_token_len"),
+        fingerprint_md5(F.col("text")).alias("fp_md5"),
+    )
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (hot-key skew path) — results must be
+    identical to the plain GROUP BY oracle."""
+    from statefulstreamprocessor_spark.operators.salted import salted_agg
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    return salted_agg(
+        ev.select("event_type", "user_id", "value_dec"),
+        ["event_type"],
+        {
+            "n": ("count", "*"),
+            "sum_value": ("sum", "value_dec"),
+            "max_user": ("max", "user_id"),
+        },
+        n_salts=16,
+    )
+
+
+def q_windowed_latest_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink-comparator windowed latest-vs-latest pair with power derivation
+    (SURVEY §2.3 J5, §2.2 P9/P10/P12)."""
+    from statefulstreamprocessor_spark.operators.windows import windowed_latest_pair
+
+    ev = _load(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", "r").otherwise("s").alias("side"),
+        "value",
+    )
+    out = windowed_latest_pair(
+        tagged, ["user_id"], "ts", "side", "value", "1 hour", "15 minutes"
+    )
+    return out.select(
+        _us("window_start").alias("ws_us"),
+        "user_id",
+        _us("r_ts").alias("r_ts_us"),
+        "r_value",
+        _us("s_ts").alias("s_ts_us"),
+        "s_value",
+        F.round("result", 6).alias("result"),
+        _us("out_ts").alias("out_ts_us"),
+        "level",
+    )
+
+
+def q_replay_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact reference-parity replay join (arrival = event_id order);
+    rows-only driver check — semantics pinned by the golden pytest suite."""
+    from statefulstreamprocessor_spark.operators import replay_join
+
+    r, s = _event_sides(spark, sf_dir)
+    out = replay_join(
+        r.withColumnRenamed("event_id", "arrival"),
+        s.withColumnRenamed("event_id", "arrival"),
+        "user_id",
+        "ts",
+        "arrival",
+    )
+    return out.select(
+        "user_id",
+        _us("r_ts").alias("r_ts_us"),
+        F.col("r_arrival"),
+        _us("s_ts").alias("s_ts_us"),
+        F.col("s_arrival"),
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (rows-only; python oracle in pytest)."""
+    from statefulstreamprocessor_spark.operators.dedup import minhash_lsh_candidates
+    from statefulstreamprocessor_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs = _load(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, "text", "doc_id")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-distance candidates (rows-only; pytest oracle)."""
+    from statefulstreamprocessor_spark.operators.dedup import simhash_candidates
+    from statefulstreamprocessor_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs = _load(spark, sf_dir, "documents")
+    return simhash_candidates(docs, "text", "doc_id").filter(F.col("hamming") <= 16)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via mapInPandas (rows-only)."""
+    from statefulstreamprocessor_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_binary_features,
+    )
+    from statefulstreamprocessor_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs = _load(spark, sf_dir, "documents")
+    return extract_binary_features(attach_binary_payload(docs, "text", "doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: closure pairwise time-series join on sf0.001."""
     return q_nn_pair_join(spark, "/root/testdata/sf0.001")
@@ -224,6 +399,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_lineitem": q_unpivot_lineitem,
         "series_key_route": q_series_key_route,
         "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "salted_agg": q_salted_agg,
+        "windowed_latest_pair": q_windowed_latest_pair,
+        "replay_pair_join": q_replay_pair_join,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -394,5 +579,132 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS keep_doc_id, count(*) AS dupes
             FROM documents GROUP BY text
+        """,
+        "ngram_jaccard": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(0, greatest(len(t) - 3, 0) + 1),
+                           i -> array_to_string(t[i+1:i+3], ' ')
+                       )) AS g
+                FROM toks
+            ), exploded AS (
+                SELECT doc_id, len(g) AS n_grams, unnest(g) AS gram FROM grams
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.n_grams AS na, b.n_grams AS nb, count(*) AS n_inter
+                FROM exploded a JOIN exploded b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b,
+                   round(n_inter / (na + nb - n_inter), 6) AS jaccard
+            FROM inter
+            WHERE n_inter / (na + nb - n_inter) >= 0.2
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS q_vec_id, embedding AS qv
+                FROM embeddings WHERE vec_id % 50 = 0
+            ), scored AS (
+                SELECT q.q_vec_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(
+                           CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])
+                       ), 4) AS sim
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.q_vec_id
+            ), ranked AS (
+                SELECT q_vec_id, neighbor_id, sim,
+                       row_number() OVER (
+                           PARTITION BY q_vec_id
+                           ORDER BY sim DESC, neighbor_id ASC
+                       ) AS rank
+                FROM scored
+            )
+            SELECT q_vec_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+        """,
+        "lang_id": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(text), '\\W+') AS t
+                FROM documents
+            ), hits AS (
+                SELECT doc_id,
+                    len(list_intersect(t, ['the','and','of','to','is','in','that','with','for','was'])) AS hits_en,
+                    len(list_intersect(t, ['der','die','das','und','ist','nicht','mit','ein','zu','von'])) AS hits_de,
+                    len(list_intersect(t, ['el','la','los','de','que','es','en','un','por','con'])) AS hits_es,
+                    len(list_intersect(t, ['le','la','les','et','est','dans','que','pour','une','des'])) AS hits_fr
+                FROM toks
+            )
+            SELECT doc_id, hits_en, hits_de, hits_es, hits_fr,
+                CASE
+                    WHEN greatest(hits_en, hits_de, hits_es, hits_fr) <= 0 THEN 'und'
+                    WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+                    WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+                    WHEN hits_es >= hits_fr THEN 'es'
+                    ELSE 'fr'
+                END AS lang_pred
+            FROM hits
+        """,
+        "text_quality": """
+            WITH base AS (
+                SELECT doc_id, trim(text) AS t FROM documents
+            ), feats AS (
+                SELECT doc_id,
+                    length(t) AS n_chars,
+                    CASE WHEN length(t) = 0 THEN 0
+                         ELSE len(string_split_regex(t, '\\s+')) END AS n_tokens,
+                    length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                    length(regexp_replace(t, '[^.,;:!?]', '', 'g')) AS n_punct
+                FROM base
+            )
+            SELECT f.doc_id, f.n_chars, f.n_tokens,
+                   round(f.n_alpha / greatest(f.n_chars, 1), 6) AS alpha_ratio,
+                   round(f.n_punct / greatest(f.n_chars, 1), 6) AS punct_ratio,
+                   round(f.n_chars / greatest(f.n_tokens, 1), 6) AS mean_token_len,
+                   md5(d.text) AS fp_md5
+            FROM feats f JOIN documents d USING (doc_id)
+        """,
+        "salted_agg": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+                   max(user_id) AS max_user
+            FROM events GROUP BY event_type
+        """,
+        "windowed_latest_pair": """
+            WITH tagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN event_type = 'click' THEN 'r' ELSE 's' END AS side,
+                       value
+                FROM events WHERE event_type IN ('click', 'view')
+            ), windowed AS (
+                SELECT epoch_us(time_bucket(INTERVAL 15 MINUTES, ts)
+                               - k.k * INTERVAL 15 MINUTES) AS ws_us,
+                       user_id,
+                       arg_max(CASE WHEN side = 'r' THEN ts END,
+                               CASE WHEN side = 'r' THEN ts END) AS r_ts,
+                       arg_max(CASE WHEN side = 'r' THEN value END,
+                               CASE WHEN side = 'r' THEN ts END) AS r_value,
+                       arg_max(CASE WHEN side = 's' THEN ts END,
+                               CASE WHEN side = 's' THEN ts END) AS s_ts,
+                       arg_max(CASE WHEN side = 's' THEN value END,
+                               CASE WHEN side = 's' THEN ts END) AS s_value
+                FROM tagged CROSS JOIN (SELECT unnest(range(4)) AS k) k
+                GROUP BY 1, 2
+            )
+            SELECT ws_us, user_id,
+                   epoch_us(r_ts) AS r_ts_us, r_value,
+                   epoch_us(s_ts) AS s_ts_us, s_value,
+                   round(least(20000, abs(2 * pi() / 60 * r_value * s_value)), 6)
+                       AS result,
+                   epoch_us(least(r_ts, s_ts)) AS out_ts_us,
+                   CAST(floor(least(20000, abs(2 * pi() / 60 * r_value * s_value))
+                        / 20000.1 * 5) AS INT) AS level
+            FROM windowed
+            WHERE r_ts IS NOT NULL AND s_ts IS NOT NULL
         """,
     }

@@ -45,6 +45,14 @@ def replay_join(
         keys = [keys]
     r_payload = [c for c in df_r.columns if c not in keys]
     s_payload = [c for c in df_s.columns if c not in keys]
+    # both sides often derive from one parent DataFrame; identical attribute
+    # exprIds across the two cogroup children make Catalyst mis-prune the
+    # right side — aliasing mints fresh exprIds (self-join disambiguation)
+    df_s = df_s.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__sr_{c}") for c in s_payload],
+    )
+    sr = {c: f"__sr_{c}" for c in s_payload}
 
     key_fields = [df_r.schema[k] for k in keys]
     out_schema = StructType(
@@ -55,9 +63,9 @@ def replay_join(
             if f.name in r_payload
         ]
         + [
-            StructField(f"s_{f.name}", f.dataType, True)
+            StructField(f"s_{f.name[len('__sr_'):]}", f.dataType, True)
             for f in df_s.schema
-            if f.name in s_payload
+            if f.name.startswith("__sr_")
         ]
     )
 
@@ -65,9 +73,9 @@ def replay_join(
         if len(left) == 0 or len(right) == 0:
             return pd.DataFrame(columns=[f.name for f in out_schema.fields])
         lt = left.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
-        rt_ = right.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        rt_ = right.sort_values(sr[ts_col], kind="mergesort").reset_index(drop=True)
         lts = lt[ts_col].to_numpy()
-        rts = rt_[ts_col].to_numpy()
+        rts = rt_[sr[ts_col]].to_numpy()
         if lts.dtype.kind == "M":  # datetime64 → int64 epoch micros
             lts = lts.astype("datetime64[us]").astype(np.int64)
             rts = rts.astype("datetime64[us]").astype(np.int64)
@@ -78,7 +86,7 @@ def replay_join(
             lts,
             lt[arrival_col].to_numpy(),
             rts,
-            rt_[arrival_col].to_numpy(),
+            rt_[sr[arrival_col]].to_numpy(),
             d,
         )
         out = {}
@@ -87,7 +95,7 @@ def replay_join(
         for c in r_payload:
             out[f"r_{c}"] = lt[c].to_numpy()[ri]
         for c in s_payload:
-            out[f"s_{c}"] = rt_[c].to_numpy()[si]
+            out[f"s_{c}"] = rt_[sr[c]].to_numpy()[si]
         return pd.DataFrame(out)
 
     return (

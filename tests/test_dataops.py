@@ -1,0 +1,150 @@
+"""Training-data operators: python-oracle parity for the non-SQL ops."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from statefulstreamprocessor_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    minhash_signature_py,
+    minhash_signature_udf,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+    simhash_py,
+)
+from statefulstreamprocessor_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_metadata,
+    extract_binary_features,
+)
+from statefulstreamprocessor_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_pd(docs):
+    return docs.toPandas()
+
+
+def test_minhash_signature_matches_oracle(spark, docs, docs_pd):
+    sig = minhash_signature_udf()
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in docs.select("doc_id", sig(F.col("text")).alias("sig")).collect()
+    }
+    for _, row in docs_pd.head(20).iterrows():
+        assert got[row.doc_id] == minhash_signature_py(row.text)
+
+
+def test_minhash_lsh_candidates_match_oracle(spark, docs, docs_pd):
+    got = {
+        (r["id_a"], r["id_b"]): r["n_bands"]
+        for r in minhash_lsh_candidates(docs, "text", "doc_id").collect()
+    }
+    # python oracle: same signatures, same 16x4 banding
+    sigs = {row.doc_id: minhash_signature_py(row.text) for _, row in docs_pd.iterrows()}
+    buckets: dict[tuple, list] = {}
+    for doc_id, s in sigs.items():
+        for b in range(16):
+            key = (b, tuple(s[b * 4 : (b + 1) * 4]))
+            buckets.setdefault(key, []).append(doc_id)
+    want: dict[tuple, int] = {}
+    for ids in buckets.values():
+        ids = sorted(ids)[:64]
+        for i, a in enumerate(ids):
+            for b_ in ids[i + 1 :]:
+                want[(a, b_)] = want.get((a, b_), 0) + 1
+    assert got == want
+
+
+def test_minhash_similar_docs_collide(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again today"),
+        (1, "the quick brown fox jumps over the lazy dog again and again tonight"),
+        (2, "completely different content about database systems and query engines"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]) for r in
+           minhash_lsh_candidates(df, "text", "doc_id").collect()}
+    assert (0, 1) in got and (0, 2) not in got
+
+
+def test_simhash_matches_oracle_and_candidates(spark, docs, docs_pd):
+    out = simhash_candidates(docs, "text", "doc_id")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    h = {row.doc_id: simhash_py(row.text) for _, row in docs_pd.iterrows()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    want = {}
+    for a in h:
+        for b in h:
+            if a >= b:
+                continue
+            # pigeonhole: candidate iff some 16-bit chunk equal
+            if any(
+                ((h[a] >> (c * 16)) & 0xFFFF) == ((h[b] >> (c * 16)) & 0xFFFF)
+                for c in range(4)
+            ):
+                want[(a, b)] = hamming(h[a], h[b])
+    assert got == want
+
+
+def test_ngram_jaccard_symmetry_and_bounds(spark, docs):
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.0).collect()
+    for r in out:
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["id_a"] < r["id_b"]
+
+
+def test_multimodal_features_match_oracle(spark, docs, docs_pd):
+    feats = extract_binary_features(
+        attach_binary_payload(docs, "text", "doc_id")
+    )
+    got = {r["doc_id"]: r for r in feats.collect()}
+    assert len(got) == len(docs_pd)
+    for _, row in docs_pd.head(10).iterrows():
+        b = np.frombuffer(row.text.encode(), dtype=np.uint8)
+        g = got[row.doc_id]
+        w, h = decode_metadata(row.text.encode())
+        assert g["n_bytes"] == len(b)
+        assert (g["width"], g["height"]) == (w, h)
+        assert g["mean_byte"] == round(float(b.mean()), 6)
+        assert list(g["hist"]) == np.bincount(b >> 5, minlength=8).tolist()
+
+
+def test_multimodal_library_stub_raises(spark, docs):
+    with pytest.raises(NotImplementedError):
+        extract_binary_features(
+            attach_binary_payload(docs, "text", "doc_id"),
+            decode_stub="library",
+        )
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    exact = cosine_topk(q, emb, "vec_id", "embedding", k=5).collect()
+    approx = cosine_topk_lsh(q, emb, "vec_id", "embedding", dim=64, k=5).collect()
+    exact_set = {(r["q_vec_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["q_vec_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"LSH recall too low: {recall}"
+    # sims for overlapping pairs must be identical (same scorer)
+    exact_sim = {(r["q_vec_id"], r["neighbor_id"]): r["sim"] for r in exact}
+    for r in approx:
+        key = (r["q_vec_id"], r["neighbor_id"])
+        if key in exact_sim:
+            assert r["sim"] == exact_sim[key]
