@@ -64,26 +64,19 @@ def generate_webtext(
     dom_idx = np.minimum(rng.zipf(zipf_a, size=n_rows) - 1, n_domains - 1)
     path_idx = rng.integers(0, 20, size=n_rows)
     side = np.where(rng.random(n_rows) < 0.5, "r", "s")
-    # per-url monotone timestamps: base offset per url + cumulative increments
+    url_code = dom_idx * 20 + path_idx
     urls = np.array(
         [f"https://d{d:03d}.example.org/p{p:02d}" for d, p in zip(dom_idx, path_idx)]
     )
-    order = np.argsort(urls, kind="stable")
+    # per-url monotone timestamps + fetch sequence, vectorized: cumulative
+    # increments within each url in generation order
     increments = rng.random(n_rows) * 30.0 + 0.5
-    ts = np.empty(n_rows, dtype=np.float64)
-    seqs = np.empty(n_rows, dtype=np.int64)
-    # cumulative time per url, preserving generation order within a url
-    pos_in_url: dict[str, float] = {}
-    seq_in_url: dict[str, int] = {}
-    for i in range(n_rows):
-        u = urls[i]
-        base = pos_in_url.get(u, float(start_epoch))
-        t = base + increments[i]
-        pos_in_url[u] = t
-        ts[i] = t
-        s = seq_in_url.get(u, 0)
-        seq_in_url[u] = s + 1
-        seqs[i] = s
+    s_idx = pd.Series(url_code)
+    ts = (
+        float(start_epoch)
+        + pd.Series(increments).groupby(s_idx, sort=False).cumsum().to_numpy()
+    )
+    seqs = s_idx.groupby(s_idx, sort=False).cumcount().to_numpy().astype(np.int64)
     lang = np.array([_LANGS[int(d) % len(_LANGS)] for d in dom_idx])
     jitter = rng.integers(0, 1_000_000, size=n_rows)
     html = [

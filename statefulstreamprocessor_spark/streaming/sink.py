@@ -63,8 +63,9 @@ class IdempotentBatchSink:
             return  # replayed epoch → no-op (exactly-once)
         epoch_dir = os.path.join(self.data_dir, f"batch={batch_id}")
         batch_df.write.mode("overwrite").parquet(epoch_dir)
-        # per-partition lineage: epoch + row count + input partition spread
-        n = batch_df.count()
+        # row count from the written parquet footers — never batch_df.count(),
+        # which would re-execute the whole micro-batch plan a second time
+        n = batch_df.sparkSession.read.parquet(epoch_dir).count()
         with open(self.lineage_path, "a") as f:
             f.write(json.dumps({"batch_id": batch_id, "rows": n}) + "\n")
         self._commit(batch_id)
