@@ -1,0 +1,82 @@
+"""Streaming source builders: rate-limited replay and Kafka.
+
+* ``rate_replay`` — the reference's rate-limited simulator (S2, reference
+  ``01_Simulator/simulator.py:27-54``: emit ≤ SAMPLE_RATE msg/s looping
+  over a file) as a ``rate-micro-batch`` source joined to the static table
+  by row index: deterministic, backpressure-free pacing. Spark-first
+  replacement for producer-side sleeps (``simulator.py:44-48``).
+* ``kafka_source`` / ``kafka_sink_writer`` — the Kafka path (S5/S6/S8/S9):
+  offset tracking belongs to the checkpoint (the reference's manual
+  ``auto.commit=False`` bookkeeping, ``ts_join_with_kafka_eos.py:41-49``);
+  ``maxOffsetsPerTrigger`` is the batched-consume knob
+  (``test_kafka_eos_joiner.py:36``). No broker exists in this sandbox, so
+  these builders are exercised only for plan construction; the exactly-once
+  *sink* contract is covered by the idempotent epoch sink tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["rate_replay", "kafka_source", "kafka_sink_options"]
+
+
+def rate_replay(
+    spark: SparkSession,
+    table: DataFrame,
+    rows_per_second: int,
+    loop: bool = False,
+) -> DataFrame:
+    """Replay a static table as a stream at a fixed rate.
+
+    Joins the ``rate-micro-batch`` source (deterministic row numbering) to
+    the table by row index; ``loop=True`` wraps around like the reference
+    simulator's infinite loop (simulator.py:50-54). The join is a broadcast
+    of nothing — the static side is shuffled once by index and reused.
+    """
+    n = table.count()
+    from pyspark.sql import Window
+
+    indexed = table.withColumn(
+        "__idx",
+        F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1,
+    ).localCheckpoint()  # materialize: stream-side plans reject the id expr
+    rate = spark.readStream.format("rate-micro-batch").option(
+        "rowsPerBatch", rows_per_second
+    ).load()
+    key = F.col("value") % n if loop else F.col("value")
+    paced = rate.select(key.cast("long").alias("__idx"), F.col("timestamp").alias("__emit_ts"))
+    if not loop:
+        paced = paced.filter(F.col("__idx") < n)
+    return paced.join(indexed, "__idx").drop("__idx")
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = 100_000,
+) -> DataFrame:
+    """Kafka readStream with the engine's defaults (explicit offsets; the
+    checkpoint, not the consumer group, owns progress)."""
+    r = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger:
+        r = r.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return r.load()
+
+
+def kafka_sink_options(bootstrap_servers: str, topic: str) -> dict[str, str]:
+    """writeStream options for the Kafka sink; exactly-once end-to-end is
+    checkpoint + idempotent/transactional downstream (see streaming.sink
+    for the lakehouse MERGE equivalent)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+    }
