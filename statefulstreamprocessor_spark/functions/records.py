@@ -14,7 +14,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["unpivot_wide", "make_series_key", "route_side"]
+__all__ = ["unpivot_wide", "make_series_key", "route_side", "machine_code"]
+
+
+def machine_code(quantity: Column) -> Column:
+    """Last-3-chars machine group, e.g. 'actSpeed_C11' → 'C11'
+    (reference StreamJoiner.java:217-221)."""
+    return F.substring(quantity, -3, 3)
+
+
+def substring_prefilter(raw: Column, needles: list[str]) -> Column:
+    """Cheap substring pre-filter applied to raw lines before JSON parsing
+    (reference simulator.py:31, test_kafka_eos_joiner.py:149). Catalyst
+    won't invent this reordering across from_json, so it stays explicit."""
+    cond = F.contains(raw, F.lit(needles[0]))
+    for n in needles[1:]:
+        cond = cond | F.contains(raw, F.lit(n))
+    return cond
 
 
 def unpivot_wide(

@@ -108,3 +108,23 @@ def test_rate_replay_emits_table_rows(spark, tmp_path):
         assert {(i, 2 * i) for i in range(20)} <= got
     finally:
         q.stop()
+
+
+def test_machine_code_and_prefilter(spark):
+    from statefulstreamprocessor_spark.functions.records import (
+        machine_code,
+        substring_prefilter,
+    )
+
+    df = spark.createDataFrame(
+        [('{"actSpeed_C11": 1}',), ('{"vaTorque_C12": 2}',), ('{"other": 3}',)],
+        ["raw"],
+    )
+    kept = df.filter(
+        substring_prefilter(F.col("raw"), ["actSpeed_C", "vaTorque_C"])
+    )
+    assert kept.count() == 2
+    mc = spark.createDataFrame([("actSpeed_C11",)], ["q"]).select(
+        machine_code(F.col("q"))
+    ).first()[0]
+    assert mc == "C11"
