@@ -1,0 +1,87 @@
+"""Physical-plan quality guards — the properties that matter at 100 TB.
+
+These assert the *shape* of the plans (pushdown, pruning, exchange count),
+so a refactor that silently degrades them fails CI, not the cluster.
+"""
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from statefulstreamprocessor_spark.operators import nn_join
+from statefulstreamprocessor_spark.operators.asof import asof_join
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def test_nn_join_plan_shape(spark, events):
+    r = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    s = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    plan = _plan(nn_join(r, s, "user_id", "ts"))
+    # filter pushed to the parquet scan
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)" in plan
+    # column pruning: props/event_id never read
+    for read_schema in re.findall(r"ReadSchema: (\S+)", plan):
+        assert "props" not in read_schema and "event_id" not in read_schema
+    # no join node — the whole operator is exchange + sort + window
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # exactly one shuffle boundary, hash-partitioned on the key
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 1
+    assert re.search(r"Arguments: hashpartitioning\(user_id", plan)
+    # no O(n²) window frames (unbounded-following)
+    assert "unboundedfollowing" not in plan.lower()
+
+
+def test_asof_plan_no_join_node(spark, events):
+    left = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    right = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    plan = _plan(asof_join(left, right, "user_id", "ts"))
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    from statefulstreamprocessor_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    plan = _plan(cosine_topk(q, emb, "vec_id", "embedding", k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_join_then_window_composition(spark, events):
+    """SURVEY §7 'hard' item: stateful join composed with a windowed agg —
+    chained as join → (table) → tumbling rollup, one statement in batch."""
+    from statefulstreamprocessor_spark.operators.windows import tumbling_agg
+
+    r = events.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    s = events.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    pairs = nn_join(r, s, "user_id", "ts", delta=7200.0)
+    rollup = tumbling_agg(
+        pairs.select(F.col("r_ts").alias("ts"), "user_id"),
+        "ts", "1 day", keys=[],
+        aggs=[F.count(F.lit(1)).alias("n_pairs")],
+    )
+    rows = rollup.collect()
+    assert sum(r["n_pairs"] for r in rows) == pairs.count()
