@@ -28,7 +28,12 @@ def normalize_epoch_seconds(c: Column) -> Column:
 
 
 def iso_format(epoch_seconds: Column) -> Column:
-    """Epoch seconds → ISO-8601 UTC string (reference db_connector.py:34-38
-    uses ``datetime.utcfromtimestamp().isoformat()``)."""
+    """Epoch seconds → ISO-8601 UTC string, byte-compatible with the
+    reference's ``datetime.utcfromtimestamp().isoformat()``
+    (db_connector.py:34-38): python's isoformat omits the fractional part
+    entirely when it is zero."""
     ts = F.timestamp_seconds(epoch_seconds)
-    return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    whole = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+    frac = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    micros_zero = F.unix_micros(ts) % F.lit(1_000_000) == 0
+    return F.when(micros_zero, whole).otherwise(frac)

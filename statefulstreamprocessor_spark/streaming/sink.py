@@ -27,16 +27,24 @@ import json
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 __all__ = ["IdempotentBatchSink"]
 
 
 class IdempotentBatchSink:
-    """foreachBatch writer with exactly-once epoch semantics + lineage."""
+    """foreachBatch writer with exactly-once epoch semantics + lineage.
 
-    def __init__(self, path: str):
+    ``merge_keys`` adds upsert semantics on the read path (merge-on-read,
+    like Iceberg MOR / the reference's InfluxDB tags+time primary key,
+    db_connector.py:53-66): for duplicate keys across epochs the row from
+    the latest committed epoch wins.
+    """
+
+    def __init__(self, path: str, merge_keys: list[str] | None = None):
         self.path = path
+        self.merge_keys = merge_keys
         self.data_dir = os.path.join(path, "data")
         self.ledger_path = os.path.join(path, "ledger.json")
         self.lineage_path = os.path.join(path, "lineage.jsonl")
@@ -75,8 +83,24 @@ class IdempotentBatchSink:
         batches = self.committed_batches()
         if not batches:
             raise FileNotFoundError(f"no committed epochs under {self.path}")
-        paths = [os.path.join(self.data_dir, f"batch={b}") for b in batches]
-        return spark.read.parquet(*paths)
+        parts = []
+        for b in batches:
+            parts.append(
+                spark.read.parquet(os.path.join(self.data_dir, f"batch={b}"))
+                .withColumn("__epoch", F.lit(b))
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        if self.merge_keys:
+            # merge-on-read: latest committed epoch wins per key
+            w = Window.partitionBy(*self.merge_keys).orderBy(F.desc("__epoch"))
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        return df.drop("__epoch")
 
     def row_count(self, spark: SparkSession) -> int:
         try:

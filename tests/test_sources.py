@@ -77,9 +77,16 @@ def test_normalize_epoch_all_units(spark):
 
 
 def test_iso_format(spark):
-    df = spark.createDataFrame([(1554096460.415,)], ["t"])
-    got = df.select(iso_format(F.col("t"))).first()[0]
-    assert got == "2019-04-01T05:27:40.415000"
+    from datetime import datetime, timezone
+
+    df = spark.createDataFrame([(1554096460.415,), (1554096460.0,)], ["t"])
+    got = [r[0] for r in df.select(iso_format(F.col("t"))).collect()]
+    # byte parity with the reference's utcfromtimestamp().isoformat()
+    want = [
+        datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None).isoformat()
+        for t in (1554096460.415, 1554096460.0)
+    ]
+    assert got == want
 
 
 def test_rate_replay_emits_table_rows(spark, tmp_path):

@@ -124,3 +124,16 @@ def test_extractor_byte_identity(spark, webtext_pdf):
     out = sdf.withColumn("extracted", html_to_text_udf("html"))
     bad = out.filter(F.col("extracted") != F.col("text")).count()
     assert bad == 0
+
+
+def test_sink_merge_keys_upsert(spark, tmp_path):
+    """Merge-on-read: latest committed epoch wins per key (the reference's
+    InfluxDB tags+time primary-key upsert, db_connector.py:53-66)."""
+    from statefulstreamprocessor_spark.streaming.sink import IdempotentBatchSink
+
+    sink = IdempotentBatchSink(str(tmp_path / "m"), merge_keys=["k"])
+    sink(spark.createDataFrame([("a", 1), ("b", 1)], ["k", "v"]), 0)
+    sink(spark.createDataFrame([("b", 2), ("c", 2)], ["k", "v"]), 1)
+    sink(spark.createDataFrame([("b", 2)], ["k", "v"]), 1)  # replay → no-op
+    got = {(r["k"], r["v"]) for r in sink.read(spark).collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 2)}
