@@ -137,3 +137,57 @@ def test_sink_merge_keys_upsert(spark, tmp_path):
     sink(spark.createDataFrame([("b", 2)], ["k", "v"]), 1)  # replay → no-op
     got = {(r["k"], r["v"]) for r in sink.read(spark).collect()}
     assert got == {("a", 1), ("b", 2), ("c", 2)}
+
+
+def test_streaming_delta_band(spark, webtext_pdf, tmp_path):
+    input_dir = _write_webtext_files(str(tmp_path), webtext_pdf, n_files=2)
+    sink = run_webtext_pipeline(
+        spark, input_dir, str(tmp_path / "out"), delta=60.0, use_extractor=False,
+    )
+    got = {
+        (r["url"], r["r_warc_ts"], r["s_warc_ts"])
+        for r in sink.read(spark).collect()
+    }
+    assert got == _expected_closure(spark, webtext_pdf, delta=60.0)
+    assert all(
+        abs((a - b).total_seconds()) <= 60.0 for _u, a, b in got
+    )
+
+
+def test_streaming_session_windows(spark, webtext_pdf, tmp_path):
+    """W4 in streaming mode: session windows with watermark, availableNow."""
+    input_dir = _write_webtext_files(str(tmp_path), webtext_pdf, n_files=2)
+    from statefulstreamprocessor_spark.streaming.pipeline import (
+        WEBTEXT_DDL,
+        read_webtext_stream,
+    )
+
+    raw = read_webtext_stream(spark, input_dir, 1)
+    stream = raw.select(
+        "url", F.col("warc_ts").cast("timestamp").alias("warc_ts")
+    ).withWatermark("warc_ts", "0 seconds")
+    sess = (
+        stream.groupBy(F.session_window("warc_ts", "60 seconds"), "url")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_probe")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select sum(n) s, count(*) c from sess_probe").first()
+    # batch oracle over the same rows
+    sdf = spark.createDataFrame(webtext_pdf[["url", "warc_ts"]])
+    want = (
+        sdf.groupBy(F.session_window("warc_ts", "60 seconds"), "url")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want_c = want.count()
+    # sessions closed by the final watermark == all sessions except those
+    # touching the max event time; allow the tail difference
+    assert got["c"] >= want_c - len(webtext_pdf["url"].unique())
+    assert got["c"] <= want_c
