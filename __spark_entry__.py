@@ -412,6 +412,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# replay semantics (kernels.py E1/E2/E3) in SQL: per direction (X earlier,
+# Y later): E1 = JR2 gap join (x in (pred_Y(y).ts, y.ts), arrived before y),
+# E2 = JS2 earliest-arrived Y at-or-after x at x's arrival, E3 = JR1
+# successor-triggered join skipping the earliest candidate.
+_REPLAY_ORACLE = """
+WITH r AS (
+    SELECT user_id, ts, event_id AS a FROM events WHERE event_type = 'click'
+), s AS (
+    SELECT user_id, ts, event_id AS a FROM events WHERE event_type = 'view'
+),
+dir1 AS (  -- X = r (earlier), Y = s (later)
+    WITH yp AS (
+        SELECT user_id, ts, a,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS p_ts
+        FROM s
+    ), e1 AS (
+        SELECT x.a AS r_a, y.a AS s_a
+        FROM yp y JOIN r x ON x.user_id = y.user_id
+         AND x.ts < y.ts AND (y.p_ts IS NULL OR x.ts > y.p_ts) AND x.a < y.a
+    ), e2c AS (
+        SELECT x.a AS r_a, y.a AS s_a,
+               row_number() OVER (PARTITION BY x.user_id, x.a
+                                  ORDER BY y.ts, y.a) AS rn
+        FROM r x JOIN s y ON y.user_id = x.user_id
+         AND y.ts >= x.ts AND y.a < x.a
+    ), xn AS (
+        SELECT user_id, ts, a,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS w_ts,
+               lead(a) OVER (PARTITION BY user_id ORDER BY ts) AS w_a
+        FROM r
+    ), e3c AS (
+        SELECT x.a AS r_a, y.a AS s_a,
+               row_number() OVER (PARTITION BY x.user_id, x.a
+                                  ORDER BY y.ts, y.a) AS rn
+        FROM xn x JOIN s y ON y.user_id = x.user_id
+         AND x.w_ts IS NOT NULL
+         AND y.ts > x.ts AND y.ts <= x.w_ts AND y.a < x.w_a
+    )
+    SELECT r_a, s_a FROM e1
+    UNION SELECT r_a, s_a FROM e2c WHERE rn = 1
+    UNION SELECT r_a, s_a FROM e3c WHERE rn > 1
+),
+dir2 AS (  -- X = s (earlier), Y = r (later)
+    WITH yp AS (
+        SELECT user_id, ts, a,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS p_ts
+        FROM r
+    ), e1 AS (
+        SELECT y.a AS r_a, x.a AS s_a
+        FROM yp y JOIN s x ON x.user_id = y.user_id
+         AND x.ts < y.ts AND (y.p_ts IS NULL OR x.ts > y.p_ts) AND x.a < y.a
+    ), e2c AS (
+        SELECT y.a AS r_a, x.a AS s_a,
+               row_number() OVER (PARTITION BY x.user_id, x.a
+                                  ORDER BY y.ts, y.a) AS rn
+        FROM s x JOIN r y ON y.user_id = x.user_id
+         AND y.ts >= x.ts AND y.a < x.a
+    ), xn AS (
+        SELECT user_id, ts, a,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS w_ts,
+               lead(a) OVER (PARTITION BY user_id ORDER BY ts) AS w_a
+        FROM s
+    ), e3c AS (
+        SELECT y.a AS r_a, x.a AS s_a,
+               row_number() OVER (PARTITION BY x.user_id, x.a
+                                  ORDER BY y.ts, y.a) AS rn
+        FROM xn x JOIN r y ON y.user_id = x.user_id
+         AND x.w_ts IS NOT NULL
+         AND y.ts > x.ts AND y.ts <= x.w_ts AND y.a < x.w_a
+    )
+    SELECT r_a, s_a FROM e1
+    UNION SELECT r_a, s_a FROM e2c WHERE rn = 1
+    UNION SELECT r_a, s_a FROM e3c WHERE rn > 1
+),
+pairs AS (SELECT r_a, s_a FROM dir1 UNION SELECT r_a, s_a FROM dir2)
+SELECT rr.user_id, epoch_us(rr.ts) AS r_ts_us, p.r_a AS r_arrival,
+       epoch_us(ss.ts) AS s_ts_us, p.s_a AS s_arrival
+FROM pairs p
+JOIN r rr ON rr.a = p.r_a
+JOIN s ss ON ss.a = p.s_a
+"""
+
+
 _NN_ORACLE = """
 WITH merged AS (
     SELECT user_id, ts, 0 AS side, event_id, value FROM events WHERE event_type = 'click'
@@ -675,6 +758,7 @@ def oracle_sql() -> dict[str, str]:
                    max(user_id) AS max_user
             FROM events GROUP BY event_type
         """,
+        "replay_pair_join": _REPLAY_ORACLE,
         "windowed_latest_pair": """
             WITH tagged AS (
                 SELECT user_id, ts,

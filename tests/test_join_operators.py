@@ -112,3 +112,19 @@ def test_nn_join_empty_side(spark):
         df_s.withColumn("arrival", F.lit(0)),
         "key", "ts", "arrival",
     ).count() == 0
+
+
+def test_nn_join_tiebreak_deterministic(spark):
+    """Equal timestamps: the tiebreak column makes the total order — and
+    therefore the pair set — deterministic across runs/partitionings."""
+    rows_r = [("k", 10.0, 1, 1.0), ("k", 10.0, 2, 2.0)]
+    rows_s = [("k", 10.0, 3, 3.0), ("k", 20.0, 4, 4.0)]
+    df_r = spark.createDataFrame(rows_r, ["key", "ts", "seq", "val"])
+    df_s = spark.createDataFrame(rows_s, ["key", "ts", "seq", "val"])
+    outs = set()
+    for _ in range(3):
+        out = nn_join(df_r, df_s, "key", "ts", tiebreak="seq")
+        outs.add(
+            frozenset((r["r_seq"], r["s_seq"]) for r in out.collect())
+        )
+    assert len(outs) == 1
