@@ -349,6 +349,21 @@ def q_replay_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components (iterative min-label
+    propagation) over the exact n-gram-Jaccard candidate graph."""
+    from statefulstreamprocessor_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    return connected_components(
+        docs.select("doc_id"), edges, "doc_id", "id_a", "id_b"
+    ).select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (rows-only; python oracle in pytest)."""
     from statefulstreamprocessor_spark.operators.dedup import minhash_lsh_candidates
@@ -406,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "windowed_latest_pair": q_windowed_latest_pair,
         "replay_pair_join": q_replay_pair_join,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "multimodal_features": q_multimodal_features,
@@ -759,6 +775,42 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "replay_pair_join": _REPLAY_ORACLE,
+        "dedup_clusters": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(0, greatest(len(t) - 3, 0) + 1),
+                           i -> array_to_string(t[i+1:i+3], ' ')
+                       )) AS g
+                FROM toks
+            ), exploded AS (
+                SELECT doc_id, len(g) AS n_grams, unnest(g) AS gram FROM grams
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.n_grams AS na, b.n_grams AS nb, count(*) AS n_inter
+                FROM exploded a JOIN exploded b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4
+            ), edges AS (
+                SELECT id_a, id_b FROM inter
+                WHERE n_inter / (na + nb - n_inter) >= 0.2
+            ), sym AS (
+                SELECT id_a AS a, id_b AS b FROM edges
+                UNION ALL SELECT id_b, id_a FROM edges
+            ), cc AS (
+                WITH RECURSIVE reach(id, root) AS (
+                    SELECT doc_id, doc_id FROM documents
+                    UNION
+                    SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.id
+                )
+                SELECT id, min(root) AS cluster_id FROM reach GROUP BY id
+            )
+            SELECT id AS doc_id, cluster_id FROM cc
+        """,
         "windowed_latest_pair": """
             WITH tagged AS (
                 SELECT user_id, ts,

@@ -240,6 +240,58 @@ def simhash_candidates(
     return pairs.select("id_a", "id_b", hamming.alias("hamming"))
 
 
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    The dedup-clustering step after candidate generation: every document in
+    a near-dup component gets the component's minimum id as ``cluster_id``.
+    Each round is one shuffle (join + min-agg); rounds needed = graph
+    diameter in hops (doubling variants exist; near-dup components are
+    shallow in practice). Deterministic; convergence-checked per round.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["a"] == labels["id"])
+            .groupBy(F.col("b").alias("id2"))
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["id"] == neigh["id2"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()  # truncate the iterative lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("comp").alias("cluster_id"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
