@@ -364,6 +364,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 20 docs per lang by md5(id) order."""
+    from statefulstreamprocessor_spark.operators.sampling import (
+        stratified_topk_sample,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return stratified_topk_sample(docs, "lang", "doc_id", k=20)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (rows-only; python oracle in pytest)."""
     from statefulstreamprocessor_spark.operators.dedup import minhash_lsh_candidates
@@ -422,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_latest_pair": q_windowed_latest_pair,
         "replay_pair_join": q_replay_pair_join,
         "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "multimodal_features": q_multimodal_features,
@@ -775,6 +786,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "replay_pair_join": _REPLAY_ORACLE,
+        "stratified_sample": """
+            SELECT doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 20
+        """,
         "dedup_clusters": """
             WITH toks AS (
                 SELECT doc_id,

@@ -148,3 +148,33 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
         key = (r["q_vec_id"], r["neighbor_id"])
         if key in exact_sim:
             assert r["sim"] == exact_sim[key]
+
+
+def test_hash_fraction_sample_consistent(spark, docs):
+    from statefulstreamprocessor_spark.operators.sampling import (
+        hash_fraction_sample,
+    )
+
+    a = {r["doc_id"] for r in hash_fraction_sample(docs, "doc_id", 0.3).collect()}
+    b = {r["doc_id"] for r in hash_fraction_sample(docs, "doc_id", 0.3).collect()}
+    assert a == b  # identical across runs
+    bigger = {
+        r["doc_id"] for r in hash_fraction_sample(docs, "doc_id", 0.6).collect()
+    }
+    assert a <= bigger  # consistent-hash nesting
+    n = docs.count()
+    assert 0.1 * n <= len(a) <= 0.5 * n
+
+
+def test_connected_components_oracle(spark):
+    from statefulstreamprocessor_spark.operators.dedup import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in range(8)], ["id"])
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (6, 7)], ["id_a", "id_b"]
+    )
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(verts, edges).collect()
+    }
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 5), (6, 6), (7, 6)}
