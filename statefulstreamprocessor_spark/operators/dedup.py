@@ -114,8 +114,9 @@ def minhash_lsh_candidates(
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     Returns (id_a, id_b, n_bands) with id_a < id_b. Buckets larger than
-    ``max_bucket_size`` are truncated to the smallest ids (cap logged via
-    the ``capped`` column on the bucket) — no silent quadratic blowup.
+    ``max_bucket_size`` are deterministically truncated to their smallest
+    ids — bounded per-bucket work, no quadratic blowup on degenerate
+    buckets (the truncation is an explicit recall/cost knob).
     """
     rows_per_band = n_perm // bands
     sig = minhash_signature_udf(k, n_perm)
@@ -137,8 +138,7 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     grouped = banded.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_list("id")).alias("ids"),
-        (F.count(F.lit(1)) > max_bucket_size).alias("capped"),
+        F.sort_array(F.collect_list("id")).alias("ids")
     )
     grouped = grouped.withColumn("ids", F.slice("ids", 1, max_bucket_size))
     pairs = (
