@@ -330,9 +330,24 @@ def streaming_nn_join(
         else:
             buf, pend = None, None
 
+        wm_us = int(state.getCurrentWatermarkMs()) * 1000
         new = [p for p in pdf_iter if len(p)]
         if new:
             np_new = pd.concat(new, ignore_index=True) if len(new) > 1 else new[0]
+            # late-row discipline: arbitrary stateful ops must drop rows at
+            # or below the watermark themselves (Spark only does this for
+            # built-in aggregations); decisions already finalized assumed
+            # no further arrivals in that region
+            if wm_us > 0:
+                ts_new = (
+                    np_new[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+                )
+                keep_new = ts_new > wm_us
+                if not keep_new.all():
+                    np_new = np_new.loc[keep_new].reset_index(drop=True)
+            if len(np_new) == 0:
+                new = []
+        if new:
             add = pd.DataFrame(
                 {
                     "__ts": np_new[ts_col]
@@ -367,7 +382,6 @@ def streaming_nn_join(
             for c in [ts_col, *keys_l, *payload_cols]:
                 buf[c] = []
 
-        wm_us = int(state.getCurrentWatermarkMs()) * 1000
         buf, pend, out, wm_blocked = _decide(
             buf, pend, wm_us, delta_us, keys_l, proj
         )

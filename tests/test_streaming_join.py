@@ -191,3 +191,27 @@ def test_streaming_session_windows(spark, webtext_pdf, tmp_path):
     # touching the max event time; allow the tail difference
     assert got["c"] >= want_c - len(webtext_pdf["url"].unique())
     assert got["c"] <= want_c
+
+
+def test_late_rows_dropped_by_watermark(spark, tmp_path):
+    """W3: rows arriving with event time below the watermark are dropped —
+    deterministic, documented divergence from the reference (which would
+    silently mis-join them, SURVEY §2.7 W3)."""
+    pdf = generate_webtext(200, n_domains=5, seed=21)
+    s = pdf.sort_values("warc_ts").reset_index(drop=True)
+    input_dir = str(tmp_path / "input")
+    os.makedirs(input_dir)
+    # file 0: the LATEST half first; file 1: the earliest half (all late)
+    s.iloc[100:].to_parquet(os.path.join(input_dir, "part-000.parquet"))
+    s.iloc[:100].to_parquet(os.path.join(input_dir, "part-001.parquet"))
+    sink = run_webtext_pipeline(
+        spark, input_dir, str(tmp_path / "out"), watermark="0 seconds",
+        max_files_per_trigger=1, use_extractor=False,
+    )
+    got = {
+        (r["url"], r["r_warc_ts"], r["s_warc_ts"])
+        for r in sink.read(spark).collect()
+    }
+    # oracle: closure over ONLY the non-late half
+    want = _expected_closure(spark, s.iloc[100:])
+    assert got == want
