@@ -212,7 +212,7 @@ def run_scaling(extra: dict) -> None:
     # ~600k rows/s past ~8-16 threads (full curve + analysis in BENCH.md),
     # so the honest strong-scaling demonstration window is 2→8.
     n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "1"))
     best: dict[int, dict] = {}
     # interleave levels and keep the best run of each: the sandbox VM has
     # minute-scale CPU-steal variance (documented in BENCH.md)
