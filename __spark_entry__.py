@@ -84,6 +84,22 @@ def q_nn_pair_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nn_pair_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-series banded closure join (intra-key parallel): same semantics
+    as nn_pair_join_delta, sharded physical plan."""
+    from statefulstreamprocessor_spark.operators.nn_join import nn_join_banded
+
+    r, s = _event_sides(spark, sf_dir)
+    out = nn_join_banded(r, s, "user_id", "ts", delta=7200.0)
+    return out.select(
+        "user_id",
+        _us("r_ts").alias("r_ts_us"),
+        F.col("r_event_id"),
+        _us("s_ts").alias("s_ts_us"),
+        F.col("s_event_id"),
+    )
+
+
 def q_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase enriched with the latest earlier click."""
     from statefulstreamprocessor_spark.operators.asof import asof_join
@@ -416,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "nn_pair_join": q_nn_pair_join,
         "nn_pair_join_delta": q_nn_pair_join_delta,
+        "nn_pair_join_banded": q_nn_pair_join_banded,
         "asof_backward": q_asof_backward,
         "tumbling_hourly": q_tumbling_hourly,
         "sliding_1h_15m": q_sliding_1h_15m,
@@ -585,6 +602,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "nn_pair_join": _NN_ORACLE.format(extra_where=""),
         "nn_pair_join_delta": (
+            "SELECT user_id, r_ts_us, r_event_id, s_ts_us, s_event_id FROM ("
+            + _NN_ORACLE.format(extra_where="")
+            + ") WHERE abs(r_ts_us - s_ts_us) <= 7200::BIGINT * 1000000"
+        ),
+        "nn_pair_join_banded": (
             "SELECT user_id, r_ts_us, r_event_id, s_ts_us, s_event_id FROM ("
             + _NN_ORACLE.format(extra_where="")
             + ") WHERE abs(r_ts_us - s_ts_us) <= 7200::BIGINT * 1000000"

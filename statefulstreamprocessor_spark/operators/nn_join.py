@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["nn_join", "PAIR_LEFT_PREFIX", "PAIR_RIGHT_PREFIX"]
+__all__ = ["nn_join", "nn_join_banded", "PAIR_LEFT_PREFIX", "PAIR_RIGHT_PREFIX"]
 
 PAIR_LEFT_PREFIX = "r_"
 PAIR_RIGHT_PREFIX = "s_"
@@ -195,5 +195,166 @@ def nn_join(
             for c in s_payload
             if c != ts_col
         ]
+    )
+    return pairs.select(*out_cols)
+
+
+def nn_join_banded(
+    df_r: DataFrame,
+    df_s: DataFrame,
+    keys: list[str] | str,
+    ts_col: str,
+    delta: float,
+    chunk_seconds: float | None = None,
+) -> DataFrame:
+    """Closure join with *intra-key* parallelism — the hot-series scale path.
+
+    ``nn_join`` puts each key's timeline on one task; a single pathological
+    series (one domain dominating a crawl) then bounds the stage. For
+    Δ-banded joins this variant shards each key's timeline into
+    ``chunk_seconds``-wide buckets (must be ≥ delta; default = delta) and
+    computes the closure per (key, bucket) with ±1-bucket overlap rows:
+
+    * any record strictly between a row and its candidate partner lies
+      within Δ ≤ chunk of that row, hence inside the bucket ∪ overlap — so
+      nearest-neighbor identities are exact for every emitted (|dt| ≤ Δ)
+      pair, and pairs wider than Δ are filtered regardless;
+    * the beta lookahead ("some other-side record at-or-after y exists")
+      is unbounded-range, so it is checked against a per-key global
+      other-side max computed by a tiny pre-aggregation (broadcast);
+    * each pair is emitted only by its generating row's own bucket, so
+      overlap duplication never duplicates output.
+
+    Output and semantics are identical to ``nn_join(..., delta=delta)``
+    (property-tested); the plan trades 3× row duplication for
+    #buckets-way parallelism inside each key.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    if delta is None or delta <= 0:
+        raise ValueError("nn_join_banded requires a positive delta band")
+    width = float(chunk_seconds or delta)
+    if width < delta:
+        raise ValueError("chunk_seconds must be >= delta")
+
+    r_payload = [c for c in df_r.columns if c not in keys]
+    s_payload = [c for c in df_s.columns if c not in keys]
+
+    def secs(c: Column) -> Column:
+        return c.cast("timestamp").cast("double") if str(
+            df_r.schema[ts_col].dataType
+        ).lower().startswith("timestamp") else c.cast("double")
+
+    def tag(df: DataFrame, side: int, own_struct, other_struct_type) -> DataFrame:
+        payload = [c for c in df.columns if c not in keys]
+        base = df.select(
+            *keys,
+            F.col(ts_col).alias("__ts"),
+            F.lit(side).alias("__side"),
+            *( [F.struct(*[F.col(c) for c in payload]).alias("__rp"),
+                F.lit(None).cast(other_struct_type).alias("__sp")]
+               if side == 0 else
+               [F.lit(None).cast(own_struct).alias("__rp"),
+                F.struct(*[F.col(c) for c in payload]).alias("__sp")] ),
+        )
+        bucket = F.floor(secs(F.col("__ts")) / F.lit(width)).cast("long")
+        return base.select(
+            "*",
+            bucket.alias("__own_bucket"),
+            F.explode(
+                F.array(bucket - 1, bucket, bucket + 1)
+            ).alias("__bucket"),
+        )
+
+    r_struct_t = df_r.select(
+        F.struct(*[F.col(c) for c in r_payload]).alias("x")
+    ).schema["x"].dataType
+    s_struct_t = df_s.select(
+        F.struct(*[F.col(c) for c in s_payload]).alias("x")
+    ).schema["x"].dataType
+
+    merged = tag(df_r, 0, r_struct_t, s_struct_t).unionByName(
+        tag(df_s, 1, r_struct_t, s_struct_t)
+    )
+    is_own = F.col("__bucket") == F.col("__own_bucket")
+
+    # per-key global other-side max (the unbounded beta lookahead)
+    maxes = (
+        merged.filter(is_own)
+        .groupBy(*keys)
+        .agg(
+            F.max(F.when(F.col("__side") == 0, F.col("__ts"))).alias("__max_r"),
+            F.max(F.when(F.col("__side") == 1, F.col("__ts"))).alias("__max_s"),
+        )
+    )
+
+    part = [*keys, "__bucket"]
+    order_asc = [F.col("__ts").asc(), F.col("__side").asc()]
+    order_desc = [F.col("__ts").desc(), F.col("__side").desc()]
+    w_asc = Window.partitionBy(*part).orderBy(*order_asc).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_desc = Window.partitionBy(*part).orderBy(*order_desc).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_lag = Window.partitionBy(*part).orderBy(*order_asc)
+
+    is_r = F.col("__side") == 0
+    self_r = F.struct(F.col("__ts").alias("t"), F.col("__rp").alias("p"))
+    self_s = F.struct(F.col("__ts").alias("t"), F.col("__sp").alias("p"))
+    ann = merged.select(
+        *keys, "__ts", "__side", "__rp", "__sp", "__bucket", "__own_bucket",
+        F.last(F.when(is_r, self_r), ignorenulls=True).over(w_asc).alias("__prev_r"),
+        F.last(F.when(~is_r, self_s), ignorenulls=True).over(w_asc).alias("__prev_s"),
+        F.last(F.when(is_r, self_r), ignorenulls=True).over(w_desc).alias("__next_r"),
+        F.last(F.when(~is_r, self_s), ignorenulls=True).over(w_desc).alias("__next_s"),
+        F.lag("__side").over(w_lag).alias("__prev_any_side"),
+    ).join(F.broadcast(maxes), keys)
+
+    prev_other = F.when(is_r, F.col("__prev_s")).otherwise(F.col("__prev_r"))
+    next_other = F.when(is_r, F.col("__next_s")).otherwise(F.col("__next_r"))
+    other_max = F.when(is_r, F.col("__max_s")).otherwise(F.col("__max_r"))
+
+    def pair(r_t, r_p, s_t, s_p):
+        return F.struct(
+            r_t.alias("r_t"), r_p.alias("r_p"), s_t.alias("s_t"), s_p.alias("s_p")
+        )
+
+    in_band = lambda a, b: F.abs(secs(a) - secs(b)) <= F.lit(delta)  # noqa: E731
+    alpha = F.when(
+        is_own & next_other.isNotNull() & in_band(F.col("__ts"), next_other["t"]),
+        F.when(
+            is_r, pair(F.col("__ts"), F.col("__rp"), next_other["t"], next_other["p"])
+        ).otherwise(
+            pair(next_other["t"], next_other["p"], F.col("__ts"), F.col("__sp"))
+        ),
+    )
+    beta = F.when(
+        is_own
+        & prev_other.isNotNull()
+        & in_band(F.col("__ts"), prev_other["t"])
+        & (F.col("__prev_any_side") == F.col("__side"))
+        & other_max.isNotNull()
+        & (other_max >= F.col("__ts")),
+        F.when(
+            is_r, pair(F.col("__ts"), F.col("__rp"), prev_other["t"], prev_other["p"])
+        ).otherwise(
+            pair(prev_other["t"], prev_other["p"], F.col("__ts"), F.col("__sp"))
+        ),
+    )
+    pairs = ann.select(
+        *keys,
+        F.explode(F.filter(F.array(alpha, beta), lambda x: x.isNotNull())).alias(
+            "__pair"
+        ),
+    )
+    out_cols = (
+        [F.col(k) for k in keys]
+        + [F.col("__pair.r_t").alias(f"{PAIR_LEFT_PREFIX}{ts_col}")]
+        + [F.col(f"__pair.r_p.{c}").alias(f"{PAIR_LEFT_PREFIX}{c}")
+           for c in r_payload if c != ts_col]
+        + [F.col("__pair.s_t").alias(f"{PAIR_RIGHT_PREFIX}{ts_col}")]
+        + [F.col(f"__pair.s_p.{c}").alias(f"{PAIR_RIGHT_PREFIX}{c}")
+           for c in s_payload if c != ts_col]
     )
     return pairs.select(*out_cols)

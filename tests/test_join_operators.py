@@ -128,3 +128,49 @@ def test_nn_join_tiebreak_deterministic(spark):
             frozenset((r["r_seq"], r["s_seq"]) for r in out.collect())
         )
     assert len(outs) == 1
+
+
+def test_nn_join_banded_equals_plain(spark):
+    """The hot-series banded variant must emit exactly the plain
+    delta-banded closure, for several chunk widths."""
+    from statefulstreamprocessor_spark.operators.nn_join import nn_join_banded
+
+    random.seed(11)
+    rows_r, rows_s = [], []
+    for k in ["a", "b"]:
+        t = 0.0
+        for _ in range(60):
+            t += random.random() * 4
+            rows_r.append((k, t, random.random()))
+        t = 0.0
+        for _ in range(60):
+            t += random.random() * 4
+            rows_s.append((k, t, random.random()))
+    df_r = spark.createDataFrame(rows_r, ["key", "ts", "val"])
+    df_s = spark.createDataFrame(rows_s, ["key", "ts", "val"])
+    for delta, chunk in [(3.0, None), (3.0, 7.5), (0.5, None), (10.0, None)]:
+        want = {
+            (r["key"], r["r_ts"], r["s_ts"])
+            for r in nn_join(df_r, df_s, "key", "ts", delta=delta).collect()
+        }
+        got = {
+            (r["key"], r["r_ts"], r["s_ts"])
+            for r in nn_join_banded(
+                df_r, df_s, "key", "ts", delta=delta, chunk_seconds=chunk
+            ).collect()
+        }
+        assert got == want, f"delta={delta} chunk={chunk}: " \
+            f"missing={len(want-got)} extra={len(got-want)}"
+
+
+def test_nn_join_banded_parallelizes_hot_key(spark):
+    """One hot key spread over many time buckets → many partitions of work."""
+    from statefulstreamprocessor_spark.operators.nn_join import nn_join_banded
+
+    rows = [("hot", float(i), float(i)) for i in range(2000)]
+    df_r = spark.createDataFrame(rows[0::2], ["key", "ts", "val"])
+    df_s = spark.createDataFrame(rows[1::2], ["key", "ts", "val"])
+    out = nn_join_banded(df_r, df_s, "key", "ts", delta=5.0)
+    n = out.count()
+    want = nn_join(df_r, df_s, "key", "ts", delta=5.0).count()
+    assert n == want
