@@ -14,8 +14,8 @@ Physical plan (scale notes):
   window pass (streaming frame, O(n)) → descending sort (reuses the
   exchange, sort only) → second running pass → explode of per-row pair
   candidates. No join operator, no state blow-up, no O(n²) frames; per-key
-  cost is O(n log n) and keys parallelize perfectly across executors. For
-  hot-key skew see ``salted_nn_join`` guidance in streaming/pipeline.py.
+  cost is O(n log n) and keys parallelize perfectly across executors. A
+  single pathological hot series is parallelized by ``nn_join_banded``.
 """
 
 from __future__ import annotations
