@@ -281,6 +281,7 @@ def streaming_nn_join(
     side_col: str,
     delta: float | None = None,
     n_buckets: int | None = None,
+    state_ttl: float | None = None,
 ) -> DataFrame:
     """Streaming closure join over a single merged stream.
 
@@ -289,6 +290,13 @@ def streaming_nn_join(
     payload columns. Output: keys + r_/s_-prefixed ts and payload columns,
     append mode, exactly-once per pair. ``n_buckets`` controls state-group
     fan-out (default 8 × defaultParallelism).
+
+    ``state_ttl`` (seconds, event time): optional garbage collection for
+    unbounded key churn — rows and pending pairs older than
+    ``watermark − ttl`` are dropped even though the closure would keep a
+    series' last rows forever (the reference keeps its buffers forever
+    too). Trade-off: a pair bridging a silence longer than the TTL is not
+    emitted. Without it, state holds O(1) rows per ever-seen series.
     """
     if isinstance(keys, str):
         keys = [keys]
@@ -311,6 +319,7 @@ def streaming_nn_join(
         [StructField("buf", BinaryType(), True), StructField("pend", BinaryType(), True)]
     )
     delta_us = None if delta is None else float(delta) * 1e6
+    ttl_us = None if state_ttl is None else int(float(state_ttl) * 1e6)
     out_cols = [f.name for f in out_schema.fields]
     proj = (
         [(f"r_{ts_col}", ts_col, "r")]
@@ -385,6 +394,19 @@ def streaming_nn_join(
         buf, pend, out, wm_blocked = _decide(
             buf, pend, wm_us, delta_us, keys_l, proj
         )
+        if ttl_us is not None and wm_us > 0:
+            cut = wm_us - ttl_us
+            if len(buf):
+                decided = (buf["__alpha"] & buf["__beta"]).to_numpy()
+                stale = (buf["__ts"].to_numpy() < cut) & decided
+                if stale.any():
+                    buf = buf.loc[~stale].reset_index(drop=True)
+            if pend is not None and len(pend):
+                pend = pend.loc[pend["__thresh"].to_numpy() >= cut].reset_index(
+                    drop=True
+                )
+                if len(pend) == 0:
+                    pend = None
         state.update((pickle.dumps(buf), pickle.dumps(pend)))
         if wm_blocked:
             state.setTimeoutTimestamp(max(int(state.getCurrentWatermarkMs()) + 1, 1))

@@ -215,3 +215,50 @@ def test_late_rows_dropped_by_watermark(spark, tmp_path):
     # oracle: closure over ONLY the non-late half
     want = _expected_closure(spark, s.iloc[100:])
     assert got == want
+
+
+def test_state_ttl_bounds_dead_series(spark, tmp_path):
+    """state_ttl: series that go silent stop pinning state (unbounded url
+    churn at web scale); on-time pairs are unaffected."""
+    import pandas as pd
+
+    pdf = generate_webtext(300, n_domains=10, seed=31)
+    s = pdf.sort_values("warc_ts").reset_index(drop=True)
+    input_dir = str(tmp_path / "input")
+    os.makedirs(input_dir)
+    for i in range(3):
+        s.iloc[i * 100 : (i + 1) * 100].to_parquet(
+            os.path.join(input_dir, f"p{i}.parquet")
+        )
+    from statefulstreamprocessor_spark.streaming.pipeline import (
+        read_webtext_stream,
+    )
+    from statefulstreamprocessor_spark.streaming.sink import IdempotentBatchSink
+    from statefulstreamprocessor_spark.streaming.stateful_join import (
+        streaming_nn_join,
+    )
+
+    raw = read_webtext_stream(spark, input_dir, 1)
+    stream = raw.select(
+        "url", F.col("warc_ts").cast("timestamp").alias("warc_ts"), "side", "lang"
+    ).withWatermark("warc_ts", "0 seconds")
+    joined = streaming_nn_join(
+        stream, ["url"], "warc_ts", "side", state_ttl=1.0
+    )
+    sink = IdempotentBatchSink(str(tmp_path / "out"))
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # with a tiny TTL output may drop silence-bridging pairs but never
+    # invents rows, and everything emitted is a true closure pair
+    got = {
+        (r["url"], r["r_warc_ts"], r["s_warc_ts"])
+        for r in sink.read(spark).collect()
+    }
+    want = _expected_closure(spark, s.assign(text=""))
+    assert got <= want
+    assert len(got) > 0
