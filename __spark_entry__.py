@@ -131,7 +131,12 @@ def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "ts", "1 hour", keys=["event_type"],
         aggs=[
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            # exact decimal sum, emitted as double: the driver gate
+            # canonicalizes DECIMAL differently than DuckDB renders it
+            # (round-1 hash FAIL); double-from-exact-decimal is byte-stable
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
         ],
     )
     return out.select(
@@ -303,7 +308,7 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _load(spark, sf_dir, "events").withColumn(
         "value_dec", F.col("value").cast("decimal(18,2)")
     )
-    return salted_agg(
+    out = salted_agg(
         ev.select("event_type", "user_id", "value_dec"),
         ["event_type"],
         {
@@ -313,6 +318,8 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         n_salts=16,
     )
+    # exact decimal sum internally, double at the gate (see q_tumbling_hourly)
+    return out.withColumn("sum_value", F.col("sum_value").cast("double"))
 
 
 def q_windowed_latest_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,28 +397,77 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_topk_sample(docs, "lang", "doc_id", k=20)
 
 
+def _char_gram_set(text: F.Column, k: int = 5) -> F.Column:
+    """Distinct character k-gram set as an array column (pure Catalyst)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.length(text) - k),
+            lambda i: text.substr(i + 1, F.lit(k)),
+        )
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (rows-only; python oracle in pytest)."""
+    """MinHash+LSH near-dup sweep, exact-rescored at the gate.
+
+    LSH (64-perm MinHash, 16 bands) generates candidates; each candidate is
+    rescored with the *exact* char-5-gram Jaccard and kept at >= 0.8. At
+    that similarity a candidate escapes all 16 bands with probability
+    (1 - 0.8^4)^16 ~= 2e-4, and the pair set is verified exhaustively
+    against the all-pairs DuckDB oracle — the gate proves zero misses on
+    this data, not just plausibility.
+    """
     from statefulstreamprocessor_spark.operators.dedup import minhash_lsh_candidates
     from statefulstreamprocessor_spark.shipping import ensure_package_shipped
 
     ensure_package_shipped(spark)
-    docs = _load(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(docs, "text", "doc_id")
+    docs = _load(spark, sf_dir, "documents").filter(F.length("text") >= 5)
+    cands = minhash_lsh_candidates(docs, "text", "doc_id")
+    grams = docs.select(
+        F.col("doc_id"), _char_gram_set(F.col("text")).alias("g")
+    )
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    n_inter = F.size(F.array_intersect("ga", "gb"))
+    jac = n_inter / (F.size("ga") + F.size("gb") - n_inter)
+    return (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming-distance candidates (rows-only; pytest oracle)."""
+    """SimHash near-dup pairs at hamming <= 3 — exactly complete.
+
+    With 4 pigeonhole chunks over the 64-bit signature, any pair at
+    hamming <= 3 shares at least one identical chunk, so the bucketed
+    self-join finds the *exact* pair set (no recall gap); the DuckDB oracle
+    recomputes the md5-based signature and the all-pairs hamming in SQL.
+    """
     from statefulstreamprocessor_spark.operators.dedup import simhash_candidates
     from statefulstreamprocessor_spark.shipping import ensure_package_shipped
 
     ensure_package_shipped(spark)
     docs = _load(spark, sf_dir, "documents")
-    return simhash_candidates(docs, "text", "doc_id").filter(F.col("hamming") <= 16)
+    return (
+        simhash_candidates(docs, "text", "doc_id", k=3, chunks=4)
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction via mapInPandas (rows-only)."""
+    """Binary-payload feature extraction via mapInPandas.
+
+    Projects only hashable scalar columns (the byte histogram is split into
+    h0..h7 — an array column crashes the driver's pandas canonicalization)
+    and exact integer moments (byte_sum / byte_sq_sum) instead of float
+    mean/std. The deterministic fake decoder is pure byte math over the
+    UTF-8 payload, so a DuckDB oracle recomputes it from codepoints (the
+    documents table is ASCII, where codepoint == byte).
+    """
     from statefulstreamprocessor_spark.operators.multimodal import (
         attach_binary_payload,
         extract_binary_features,
@@ -420,7 +476,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_package_shipped(spark)
     docs = _load(spark, sf_dir, "documents")
-    return extract_binary_features(attach_binary_payload(docs, "text", "doc_id"))
+    feats = extract_binary_features(attach_binary_payload(docs, "text", "doc_id"))
+    return feats.select(
+        "doc_id", "n_bytes", "width", "height", "byte_sum", "byte_sq_sum",
+        *[F.col("hist").getItem(i).alias(f"h{i}") for i in range(8)],
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -428,8 +488,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_nn_pair_join(spark, "/root/testdata/sf0.001")
 
 
+def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
+    """Every query must work in a vanilla driver session regardless of cwd:
+    python-UDF closures (pandas UDFs, cogroup kernels) import this package
+    on executor workers, so ship it (cached, no-op after the first call)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from statefulstreamprocessor_spark.shipping import ensure_package_shipped
+
+        ensure_package_shipped(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    qs = {
         "nn_pair_join": q_nn_pair_join,
         "nn_pair_join_delta": q_nn_pair_join_delta,
         "nn_pair_join_banded": q_nn_pair_join_banded,
@@ -454,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "multimodal_features": q_multimodal_features,
     }
+    return {k: _shipped(v) for k, v in qs.items()}
 
 
 # replay semantics (kernels.py E1/E2/E3) in SQL: per direction (X earlier,
@@ -633,7 +710,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tumbling_hourly": """
             SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us, event_type,
-                   count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "sliding_1h_15m": """
@@ -803,11 +881,101 @@ def oracle_sql() -> dict[str, str]:
         """,
         "salted_agg": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
                    max(user_id) AS max_user
             FROM events GROUP BY event_type
         """,
         "replay_pair_join": _REPLAY_ORACLE,
+        "minhash_lsh": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(length(text) - 4),
+                           i -> substring(text, i + 1, 5)
+                       )) AS g
+                FROM documents WHERE length(text) >= 5
+            ), e AS (
+                SELECT doc_id, len(g) AS ng, unnest(g) AS gram FROM sh
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.ng AS na, b.ng AS nb, count(*) AS n_inter
+                FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b,
+                   round(n_inter / (na + nb - n_inter), 6) AS jaccard
+            FROM inter
+            WHERE round(n_inter / (na + nb - n_inter), 6) >= 0.8
+        """,
+        "simhash": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> ''
+                       ) AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, CASE
+                    WHEN len(t) >= 3 THEN list_transform(
+                        range(len(t) - 2), i -> array_to_string(t[i+1:i+3], ' '))
+                    WHEN len(t) > 0 THEN t
+                    ELSE [''] END AS gs
+                FROM toks
+            ), g AS (
+                SELECT doc_id, unnest(gs) AS gram FROM grams
+            ), acc AS (
+                -- bit j of the 64-bit gram hash = bit (j%4) of md5 hex digit
+                -- 16 - j//4 (first 8 md5 bytes, big-endian)
+                SELECT doc_id, j,
+                       sum(CASE WHEN
+                           ((strpos('0123456789abcdef',
+                                    substring(md5(gram),
+                                              16 - CAST(j // 4 AS INT), 1)) - 1)
+                            // (1 << (j % 4))) % 2 = 1
+                           THEN 1 ELSE -1 END) AS s
+                FROM g CROSS JOIN (SELECT unnest(range(64)) AS j) jj
+                GROUP BY doc_id, j
+            ), sig AS (
+                SELECT doc_id,
+                       list(CASE WHEN s > 0 THEN 1 ELSE 0 END ORDER BY j) AS b
+                FROM acc GROUP BY doc_id
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(list_sum(list_transform(
+                           range(64),
+                           j -> CASE WHEN a.b[j+1] <> b.b[j+1] THEN 1 ELSE 0 END
+                       )) AS BIGINT) AS hamming
+                FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+        """,
+        "multimodal_features": """
+            WITH b AS (
+                SELECT doc_id, text AS t, length(text) AS n FROM documents
+            ), cp AS (
+                -- UTF-8 payload bytes == codepoints (documents are ASCII)
+                SELECT doc_id, n,
+                       list_transform(range(1, n + 1), i -> ascii(t[i])) AS cs
+                FROM b
+            )
+            SELECT doc_id,
+                n AS n_bytes,
+                CASE WHEN n = 0 THEN 0 ELSE 16 + (cs[1] % 48) END AS width,
+                CASE WHEN n = 0 THEN 0 ELSE 16 + (cs[n] % 48) END AS height,
+                CAST(coalesce(list_sum(cs), 0) AS BIGINT) AS byte_sum,
+                CAST(coalesce(list_sum(list_transform(cs, c -> c * c)), 0)
+                     AS BIGINT) AS byte_sq_sum,
+                len(list_filter(cs, c -> c // 32 = 0)) AS h0,
+                len(list_filter(cs, c -> c // 32 = 1)) AS h1,
+                len(list_filter(cs, c -> c // 32 = 2)) AS h2,
+                len(list_filter(cs, c -> c // 32 = 3)) AS h3,
+                len(list_filter(cs, c -> c // 32 = 4)) AS h4,
+                len(list_filter(cs, c -> c // 32 = 5)) AS h5,
+                len(list_filter(cs, c -> c // 32 = 6)) AS h6,
+                len(list_filter(cs, c -> c // 32 = 7)) AS h7
+            FROM cp
+        """,
         "stratified_sample": """
             SELECT doc_id, lang, n_chars FROM (
                 SELECT doc_id, lang, n_chars,

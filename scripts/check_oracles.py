@@ -38,6 +38,20 @@ def digest(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
     return h, len(lines)
 
 
+def pandas_canon_digest(pdf) -> str:
+    """Driver-style canonicalization: sort columns by name, pandas
+    sort_values over every column (raises TypeError on unhashable cell
+    values such as lists — exactly like the round-1 driver gate), then a
+    repr-level value digest. Catches dtype-class mismatches (Decimal vs
+    float) that the tuple-level ``digest`` normalizes away."""
+    pdf = pdf[sorted(pdf.columns)]
+    pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+    lines = [
+        "|".join(canon(v) for v in row) for row in pdf.itertuples(index=False)
+    ]
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+
 def main() -> int:
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
@@ -63,12 +77,20 @@ def main() -> int:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:
             print(f"{name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
             failures += 1
             continue
         if name not in oracles:
-            print(f"{name}: rows={len(srows)} (rows-only, no oracle)")
+            # rows-only queries still go through the driver's pandas
+            # canonicalization — an unhashable column crashes the gate
+            try:
+                pandas_canon_digest(spdf)
+                print(f"{name}: rows={len(srows)} (rows-only, no oracle)")
+            except Exception as e:
+                print(f"{name}: CANON ERROR {type(e).__name__}: {str(e)[:200]}")
+                failures += 1
             continue
         try:
             res = con.execute(oracles[name])
@@ -93,11 +115,19 @@ def main() -> int:
         sh, sn = digest(scols, srows)
         dh, dn = digest(dcols, drows)
         schema_ok = sorted(scols) == sorted(dcols)
-        ok = sn == dn and schema_ok and sh == dh
+        try:
+            ph_s = pandas_canon_digest(spdf)
+            # re-execute: fetchall() above consumed the result set
+            ph_d = pandas_canon_digest(con.execute(oracles[name]).df())
+            pandas_ok = ph_s == ph_d
+        except Exception as e:
+            print(f"{name}: CANON ERROR {type(e).__name__}: {str(e)[:200]}")
+            pandas_ok = False
+        ok = sn == dn and schema_ok and sh == dh and pandas_ok
         print(
             f"{name}: {'OK' if ok else 'MISMATCH'} rows {sn}/{dn} "
             f"schema {'ok' if schema_ok else f'{sorted(scols)} vs {sorted(dcols)}'} "
-            f"hash {sh}/{dh}"
+            f"hash {sh}/{dh} pandas {'ok' if pandas_ok else 'FAIL'}"
         )
         if not ok:
             failures += 1

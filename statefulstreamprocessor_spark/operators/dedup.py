@@ -15,8 +15,9 @@ All operators are shuffle-conscious compositions of DataFrame primitives:
 * ngram_jaccard_pairs — exact n-gram Jaccard via token self-join (pure
   Catalyst, SQL-parity-checkable).
 
-Hashing uses blake2b (stable across platforms/processes — never Python's
-salted ``hash``).
+Hashing uses blake2b (MinHash shingles) and md5 (SimHash grams — md5 is
+recomputable in DuckDB SQL for the driver-gate oracle); both are stable
+across platforms/processes — never Python's salted ``hash``.
 """
 
 from __future__ import annotations
@@ -165,7 +166,12 @@ def minhash_lsh_candidates(
 
 
 def simhash_py(text: str, k: int = 3) -> int:
-    """64-bit SimHash over word k-grams (signed, for BIGINT columns)."""
+    """64-bit SimHash over word k-grams (signed, for BIGINT columns).
+
+    The per-gram hash is the first 8 bytes of md5 (big-endian) — md5 exists
+    in both Spark and DuckDB, so the signature is recomputable in pure SQL
+    (the driver-gate oracle does exactly that from the md5 hex digits).
+    """
     toks = (text or "").lower().split()
     grams = (
         [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
@@ -175,7 +181,7 @@ def simhash_py(text: str, k: int = 3) -> int:
     acc = np.zeros(64, dtype=np.int64)
     for g in grams:
         h = np.uint64(
-            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+            int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
         )
         bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits == 1, 1, -1)

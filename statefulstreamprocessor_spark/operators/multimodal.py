@@ -29,6 +29,7 @@ __all__ = ["attach_binary_payload", "decode_metadata", "extract_binary_features"
 
 FEATURE_SCHEMA = (
     "doc_id bigint, n_bytes int, width int, height int, "
+    "byte_sum bigint, byte_sq_sum bigint, "
     "mean_byte double, std_byte double, hist array<int>"
 )
 
@@ -78,15 +79,20 @@ def extract_binary_features(
                 b = np.frombuffer(payload or b"", dtype=np.uint8)
                 w, h = decode_metadata(payload)
                 if len(b) == 0:
-                    rows.append((doc_id, 0, w, h, 0.0, 0.0, [0] * 8))
+                    rows.append((doc_id, 0, w, h, 0, 0, 0.0, 0.0, [0] * 8))
                     continue
                 hist = np.bincount(b >> 5, minlength=8).astype(int).tolist()
+                b64 = b.astype(np.int64)
                 rows.append(
                     (
                         doc_id,
                         int(len(b)),
                         w,
                         h,
+                        # exact integer moments: hash-stable at the driver
+                        # gate (float mean/std depend on summation order)
+                        int(b64.sum()),
+                        int((b64 * b64).sum()),
                         round(float(b.mean()), 6),
                         round(float(b.std()), 6),
                         hist,
@@ -96,6 +102,7 @@ def extract_binary_features(
                 rows,
                 columns=[
                     id_col, "n_bytes", "width", "height",
+                    "byte_sum", "byte_sq_sum",
                     "mean_byte", "std_byte", "hist",
                 ],
             )

@@ -122,6 +122,8 @@ def test_multimodal_features_match_oracle(spark, docs, docs_pd):
         assert g["n_bytes"] == len(b)
         assert (g["width"], g["height"]) == (w, h)
         assert g["mean_byte"] == round(float(b.mean()), 6)
+        assert g["byte_sum"] == int(b.astype(np.int64).sum())
+        assert g["byte_sq_sum"] == int((b.astype(np.int64) ** 2).sum())
         assert list(g["hist"]) == np.bincount(b >> 5, minlength=8).tolist()
 
 
