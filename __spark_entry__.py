@@ -229,11 +229,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (training-data dedup op)."""
+    """Exact word-3-gram Jaccard near-dup pairs (training-data dedup op),
+    with the document-frequency cap that makes the gram self-join scale
+    (grams in > 50 docs are boilerplate, dropped before the join)."""
     from statefulstreamprocessor_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _load(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.2, max_df=50,
+        min_input_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,7 +386,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _load(spark, sf_dir, "documents")
-    edges = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    edges = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.2, max_df=50,
+        min_input_partitions=spark.sparkContext.defaultParallelism,
+    )
     return connected_components(
         docs.select("doc_id"), edges, "doc_id", "id_a", "id_b"
     ).select(F.col("id").alias("doc_id"), "cluster_id")
@@ -483,6 +491,104 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nn_pair_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming closure join pinned to the SAME DuckDB oracle as the batch
+    operators — streaming == batch parity checked inside the driver gate.
+
+    The events table is written out as event-time-ordered parquet chunks
+    (the Kafka stand-in), consumed with maxFilesPerTrigger=1 + a 0-second
+    watermark through the applyInPandasWithState operator, committed via
+    the exactly-once epoch sink, and read back as a batch DataFrame.
+    """
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from statefulstreamprocessor_spark.shipping import ensure_package_shipped
+    from statefulstreamprocessor_spark.streaming.sink import IdempotentBatchSink
+    from statefulstreamprocessor_spark.streaming.stateful_join import (
+        streaming_nn_join,
+    )
+
+    ensure_package_shipped(spark)
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "user_id",
+            "ts",
+            F.when(F.col("event_type") == "click", "r").otherwise("s").alias(
+                "side"
+            ),
+            "event_id",
+            "value",
+        )
+    )
+    pdf = ev.orderBy("ts", "side").toPandas()
+    tmp = tempfile.mkdtemp(prefix="ssp_stream_gate_")
+    in_dir = os.path.join(tmp, "input")
+    os.makedirs(in_dir)
+    n_files = 4
+    step = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        # event-time-ordered chunks: later files only carry later rows, so
+        # the 0-second watermark never drops anything as late
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(
+            os.path.join(in_dir, f"part-{i:03d}.parquet"),
+            index=False,
+            coerce_timestamps="us",  # Spark reads µs NTZ; pandas defaults ns
+        )
+    # punctuation record: Spark's watermark is millisecond-truncated, so a
+    # µs-precision final event time is never sealed by wm == max - 0s; one
+    # sentinel row for an unused key pushes the watermark past everything
+    # (a lone one-sided row emits no pairs)
+    flush = pdf.iloc[-1:].copy()
+    flush["user_id"] = -1
+    flush["ts"] = flush["ts"] + pd.Timedelta(hours=1)
+    flush.to_parquet(
+        os.path.join(in_dir, f"part-{n_files:03d}.parquet"),
+        index=False,
+        coerce_timestamps="us",
+    )
+    raw = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp_ntz, side string, "
+            "event_id bigint, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    stream = raw.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "side",
+        "event_id",
+        "value",
+    ).withWatermark("ts", "0 seconds")
+    joined = streaming_nn_join(
+        stream, keys=["user_id"], ts_col="ts", side_col="side", n_buckets=32
+    )
+    sink = IdempotentBatchSink(os.path.join(tmp, "out"))
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(tmp, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = sink.read(spark)
+    return out.select(
+        "user_id",
+        _us(F.col("r_ts").cast("timestamp_ntz")).alias("r_ts_us"),
+        "r_event_id",
+        "r_value",
+        _us(F.col("s_ts").cast("timestamp_ntz")).alias("s_ts_us"),
+        "s_event_id",
+        "s_value",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: closure pairwise time-series join on sf0.001."""
     return q_nn_pair_join(spark, "/root/testdata/sf0.001")
@@ -524,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "windowed_latest_pair": q_windowed_latest_pair,
         "replay_pair_join": q_replay_pair_join,
+        "nn_pair_join_streaming": q_nn_pair_join_streaming,
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
         "minhash_lsh": q_minhash_lsh,
@@ -616,6 +723,9 @@ JOIN s ss ON ss.a = p.s_a
 """
 
 
+# closure semantics, ts-INCLUSIVE at cross-side ties (kernels.closure_pairs):
+# FO/LO via RANGE frames (equal-ts rows are peers), same-side tie-group
+# predicates via ROWS frames; dedup mirrors operators/nn_join.py exactly
 _NN_ORACLE = """
 WITH merged AS (
     SELECT user_id, ts, 0 AS side, event_id, value FROM events WHERE event_type = 'click'
@@ -623,50 +733,65 @@ WITH merged AS (
     SELECT user_id, ts, 1 AS side, event_id, value FROM events WHERE event_type = 'view'
 ), ann AS (
     SELECT user_id, ts, side, event_id, value,
-        last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER w_b AS prev_r_ts,
-        last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER w_b AS prev_r_id,
-        last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER w_b AS prev_r_val,
-        last_value(CASE WHEN side = 1 THEN ts END IGNORE NULLS) OVER w_b AS prev_s_ts,
-        last_value(CASE WHEN side = 1 THEN event_id END IGNORE NULLS) OVER w_b AS prev_s_id,
-        last_value(CASE WHEN side = 1 THEN value END IGNORE NULLS) OVER w_b AS prev_s_val,
-        last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER w_a AS next_r_ts,
-        last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER w_a AS next_r_id,
-        last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER w_a AS next_r_val,
-        last_value(CASE WHEN side = 1 THEN ts END IGNORE NULLS) OVER w_a AS next_s_ts,
-        last_value(CASE WHEN side = 1 THEN event_id END IGNORE NULLS) OVER w_a AS next_s_id,
-        last_value(CASE WHEN side = 1 THEN value END IGNORE NULLS) OVER w_a AS next_s_val,
-        lag(side) OVER (PARTITION BY user_id ORDER BY ts, side) AS prev_any_side
+        max(CASE WHEN side = 0 THEN {{'t': ts, 'p': {{'ts': ts, 'id': event_id, 'v': value}}}} END)
+            OVER w_before AS prev_r,
+        max(CASE WHEN side = 1 THEN {{'t': ts, 'p': {{'ts': ts, 'id': event_id, 'v': value}}}} END)
+            OVER w_before AS prev_s,
+        min(CASE WHEN side = 0 THEN {{'t': ts, 'p': {{'ts': ts, 'id': event_id, 'v': value}}}} END)
+            OVER w_after AS next_r,
+        min(CASE WHEN side = 1 THEN {{'t': ts, 'p': {{'ts': ts, 'id': event_id, 'v': value}}}} END)
+            OVER w_after AS next_s,
+        last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER w_rb AS psame_r_t,
+        last_value(CASE WHEN side = 1 THEN ts END IGNORE NULLS) OVER w_rb AS psame_s_t,
+        first_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER w_ra AS nsame_r_t,
+        first_value(CASE WHEN side = 1 THEN ts END IGNORE NULLS) OVER w_ra AS nsame_s_t
     FROM merged
     WINDOW
-      w_b AS (PARTITION BY user_id ORDER BY ts ASC, side ASC
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-      w_a AS (PARTITION BY user_id ORDER BY ts DESC, side DESC
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-), pairs AS (
-    -- alpha: (self, earliest other-side at-or-after)
-    SELECT user_id,
-        CASE WHEN side = 0 THEN ts ELSE next_r_ts END AS r_ts,
-        CASE WHEN side = 0 THEN event_id ELSE next_r_id END AS r_event_id,
-        CASE WHEN side = 0 THEN value ELSE next_r_val END AS r_value,
-        CASE WHEN side = 0 THEN next_s_ts ELSE ts END AS s_ts,
-        CASE WHEN side = 0 THEN next_s_id ELSE event_id END AS s_event_id,
-        CASE WHEN side = 0 THEN next_s_val ELSE value END AS s_value
+      w_before AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w_after AS (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+      w_rb AS (PARTITION BY user_id ORDER BY ts, side, event_id, value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      w_ra AS (PARTITION BY user_id ORDER BY ts, side, event_id, value
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+), flags AS (
+    SELECT user_id, ts, side, event_id, value,
+        CASE WHEN side = 0 THEN next_s ELSE next_r END AS fo,
+        CASE WHEN side = 0 THEN prev_s ELSE prev_r END AS lo,
+        CASE WHEN side = 0 THEN psame_r_t ELSE psame_s_t END AS psame_t,
+        CASE WHEN side = 0 THEN nsame_r_t ELSE nsame_s_t END AS nsame_t,
+        CASE WHEN side = 0 THEN next_s IS NOT DISTINCT FROM prev_s
+             ELSE next_r IS NOT DISTINCT FROM prev_r END AS dup_self
     FROM ann
-    WHERE (CASE WHEN side = 0 THEN next_s_ts ELSE next_r_ts END) IS NOT NULL
+), pairs AS (
+    -- alpha: (self, earliest other-side at-or-after); at a mutual tie only
+    -- the R row emits
+    SELECT user_id,
+        CASE WHEN side = 0 THEN ts ELSE fo['t'] END AS r_ts,
+        CASE WHEN side = 0 THEN event_id ELSE fo['p']['id'] END AS r_event_id,
+        CASE WHEN side = 0 THEN value ELSE fo['p']['v'] END AS r_value,
+        CASE WHEN side = 0 THEN fo['t'] ELSE ts END AS s_ts,
+        CASE WHEN side = 0 THEN fo['p']['id'] ELSE event_id END AS s_event_id,
+        CASE WHEN side = 0 THEN fo['p']['v'] ELSE value END AS s_value
+    FROM flags
+    WHERE fo IS NOT NULL
+      AND (side = 0 OR NOT (fo['t'] = ts AND (psame_t IS NULL OR psame_t < ts)))
     UNION ALL
     -- beta: (latest other-side at-or-before, self), forward-confirmed,
-    -- skipped when adjacent to its other-side predecessor (alpha dup)
+    -- minus the partner-alpha / own-alpha / mutual-last duplicates
     SELECT user_id,
-        CASE WHEN side = 0 THEN ts ELSE prev_r_ts END AS r_ts,
-        CASE WHEN side = 0 THEN event_id ELSE prev_r_id END AS r_event_id,
-        CASE WHEN side = 0 THEN value ELSE prev_r_val END AS r_value,
-        CASE WHEN side = 0 THEN prev_s_ts ELSE ts END AS s_ts,
-        CASE WHEN side = 0 THEN prev_s_id ELSE event_id END AS s_event_id,
-        CASE WHEN side = 0 THEN prev_s_val ELSE value END AS s_value
-    FROM ann
-    WHERE (CASE WHEN side = 0 THEN prev_s_ts ELSE prev_r_ts END) IS NOT NULL
-      AND (CASE WHEN side = 0 THEN next_s_ts ELSE next_r_ts END) IS NOT NULL
-      AND prev_any_side = side
+        CASE WHEN side = 0 THEN ts ELSE lo['t'] END AS r_ts,
+        CASE WHEN side = 0 THEN event_id ELSE lo['p']['id'] END AS r_event_id,
+        CASE WHEN side = 0 THEN value ELSE lo['p']['v'] END AS r_value,
+        CASE WHEN side = 0 THEN lo['t'] ELSE ts END AS s_ts,
+        CASE WHEN side = 0 THEN lo['p']['id'] ELSE event_id END AS s_event_id,
+        CASE WHEN side = 0 THEN lo['p']['v'] ELSE value END AS s_value
+    FROM flags
+    WHERE fo IS NOT NULL AND lo IS NOT NULL
+      AND psame_t IS NOT NULL AND psame_t >= lo['t']
+      AND NOT dup_self
+      AND NOT (side = 1 AND lo['t'] = ts AND (nsame_t IS NULL OR nsame_t > ts))
 )
 SELECT user_id, epoch_us(r_ts) AS r_ts_us, r_event_id, r_value,
        epoch_us(s_ts) AS s_ts_us, s_event_id, s_value
@@ -678,6 +803,7 @@ FROM pairs
 def oracle_sql() -> dict[str, str]:
     return {
         "nn_pair_join": _NN_ORACLE.format(extra_where=""),
+        "nn_pair_join_streaming": _NN_ORACLE.format(extra_where=""),
         "nn_pair_join_delta": (
             "SELECT user_id, r_ts_us, r_event_id, s_ts_us, s_event_id FROM ("
             + _NN_ORACLE.format(extra_where="")
@@ -804,10 +930,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM toks
             ), exploded AS (
                 SELECT doc_id, len(g) AS n_grams, unnest(g) AS gram FROM grams
+            ), kept AS (
+                -- document-frequency cap (max_df = 50), mirroring Spark
+                SELECT e.* FROM exploded e
+                JOIN (SELECT gram FROM exploded
+                      GROUP BY gram HAVING count(*) <= 50) f USING (gram)
             ), inter AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                        a.n_grams AS na, b.n_grams AS nb, count(*) AS n_inter
-                FROM exploded a JOIN exploded b
+                FROM kept a JOIN kept b
                   ON a.gram = b.gram AND a.doc_id < b.doc_id
                 GROUP BY 1, 2, 3, 4
             )
@@ -1000,10 +1131,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM toks
             ), exploded AS (
                 SELECT doc_id, len(g) AS n_grams, unnest(g) AS gram FROM grams
+            ), kept AS (
+                SELECT e.* FROM exploded e
+                JOIN (SELECT gram FROM exploded
+                      GROUP BY gram HAVING count(*) <= 50) f USING (gram)
             ), inter AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                        a.n_grams AS na, b.n_grams AS nb, count(*) AS n_inter
-                FROM exploded a JOIN exploded b
+                FROM kept a JOIN kept b
                   ON a.gram = b.gram AND a.doc_id < b.doc_id
                 GROUP BY 1, 2, 3, 4
             ), edges AS (

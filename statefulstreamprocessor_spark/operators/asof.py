@@ -67,9 +67,14 @@ def asof_join(
     )
 
     if direction == "backward":
+        # asc traversal: the right row (side 0) precedes an equal-ts left
+        # row, so right.ts <= left.ts is inclusive
         order = [F.col("__ts").asc(), F.col("__side").asc()]
     else:
-        order = [F.col("__ts").desc(), F.col("__side").desc()]
+        # desc traversal must ALSO put the right row first at equal ts —
+        # side ASC (0 before 1), not desc — so right.ts >= left.ts is
+        # inclusive as documented
+        order = [F.col("__ts").desc(), F.col("__side").asc()]
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)

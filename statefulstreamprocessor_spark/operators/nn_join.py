@@ -10,12 +10,15 @@ arrival-order-invariant superset of what it emits under any other
 interleaving (the guarantee its README:219-233 advertises).
 
 Physical plan (scale notes):
-  one hash exchange on the join key → ascending sort → running-``last``
-  window pass (streaming frame, O(n)) → descending sort (reuses the
-  exchange, sort only) → second running pass → explode of per-row pair
-  candidates. No join operator, no state blow-up, no O(n²) frames; per-key
-  cost is O(n log n) and keys parallelize perfectly across executors. A
-  single pathological hot series is parallelized by ``nn_join_banded``.
+  one hash exchange on the join key → ascending sort → running
+  unbounded-preceding window passes (range frames for the ts-inclusive
+  cross-side lookups + rows frames for same-side predicates, all O(n)) →
+  descending sort (same exchange, sort only) → mirrored running passes →
+  explode of per-row pair candidates. No join operator, no state blow-up,
+  no shrinking (unbounded-following) frames — those re-aggregate per row;
+  per-key cost is O(n log n) and keys parallelize perfectly across
+  executors. A single pathological hot series is parallelized by
+  ``nn_join_banded``.
 """
 
 from __future__ import annotations
@@ -88,31 +91,59 @@ def nn_join(
         )
     )
 
-    order_asc = [F.col("__ts").asc(), F.col("__side").asc()]
-    order_desc = [F.col("__ts").desc(), F.col("__side").desc()]
+    # Same-side same-ts rows are ordered by the tiebreak column if given,
+    # else by the payload struct — any deterministic total order works; the
+    # cross-side comparisons below are ts-INCLUSIVE (the kernel's
+    # searchsorted semantics: an equal-ts other-side row is "at-or-after"
+    # AND "at-or-before"), matching closure_pairs and the reference's
+    # `s_j.time >= r_t0.time` joins (local_stream_buffer.py:302-306).
     if tiebreak is not None:
-        # tiebreak lives inside the side structs; surface it for ordering
         merged = merged.withColumn(
             "__tb", F.coalesce(F.col(f"__rp.{tiebreak}"), F.col(f"__sp.{tiebreak}"))
         )
-        order_asc.append(F.col("__tb").asc())
-        order_desc.append(F.col("__tb").desc())
 
-    w_asc = (
+    def side_struct(payload_col: str) -> Column:
+        fields = [F.col("__ts").alias("t")]
+        if tiebreak is not None:
+            fields.append(F.col("__tb").alias("tb"))
+        fields.append(F.col(payload_col).alias("p"))
+        return F.struct(*fields)
+
+    # ts-only ordering so RANGE frames treat all equal-ts rows (either
+    # side) as peers of the current row — inclusive nearest lookups.
+    # Both frames end at CURRENT ROW (one asc, one desc): Spark evaluates
+    # unbounded-preceding frames incrementally (O(n) per key); a frame
+    # extending to unboundedFollowing would re-aggregate per row (O(n²))
+    w_before = (
         Window.partitionBy(*keys)
-        .orderBy(*order_asc)
+        .orderBy(F.col("__ts").asc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_after = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").desc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # total order for same-side neighbor lookups (group-position tests);
+    # the asc sort also satisfies w_before's ts-prefix requirement
+    rows_order = [F.col("__ts"), F.col("__side")]
+    if tiebreak is not None:
+        rows_order.append(F.col("__tb"))
+    rows_order += [F.col("__rp"), F.col("__sp")]
+    w_rows_before = (
+        Window.partitionBy(*keys)
+        .orderBy(*[c.asc() for c in rows_order])
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w_desc = (
+    w_rows_after = (
         Window.partitionBy(*keys)
-        .orderBy(*order_desc)
+        .orderBy(*[c.desc() for c in rows_order])
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w_lag = Window.partitionBy(*keys).orderBy(*order_asc)
 
     is_r = F.col("__side") == 0
-    self_r = F.struct(F.col("__ts").alias("t"), F.col("__rp").alias("p"))
-    self_s = F.struct(F.col("__ts").alias("t"), F.col("__sp").alias("p"))
+    self_r = side_struct("__rp")
+    self_s = side_struct("__sp")
 
     ann = merged.select(
         *keys,
@@ -120,15 +151,35 @@ def nn_join(
         "__side",
         "__rp",
         "__sp",
-        F.last(F.when(is_r, self_r), ignorenulls=True).over(w_asc).alias("__prev_r"),
-        F.last(F.when(~is_r, self_s), ignorenulls=True).over(w_asc).alias("__prev_s"),
-        F.last(F.when(is_r, self_r), ignorenulls=True).over(w_desc).alias("__next_r"),
-        F.last(F.when(~is_r, self_s), ignorenulls=True).over(w_desc).alias("__next_s"),
-        F.lag("__side").over(w_lag).alias("__prev_any_side"),
+        # nearest other-side rows, ts-inclusive; min/max of (t, [tb], p)
+        # structs = earliest/latest with a deterministic same-ts order
+        F.max(F.when(is_r, self_r)).over(w_before).alias("__prev_r"),
+        F.max(F.when(~is_r, self_s)).over(w_before).alias("__prev_s"),
+        F.min(F.when(is_r, self_r)).over(w_after).alias("__next_r"),
+        F.min(F.when(~is_r, self_s)).over(w_after).alias("__next_s"),
+        # same-side strict neighbors (dedup predicates only need their ts)
+        F.last(F.when(is_r, F.col("__ts")), ignorenulls=True)
+        .over(w_rows_before)
+        .alias("__psame_r_t"),
+        F.last(F.when(~is_r, F.col("__ts")), ignorenulls=True)
+        .over(w_rows_before)
+        .alias("__psame_s_t"),
+        # strict same-side successor = last same-side row seen in the
+        # REVERSED total order before the current row (running frame)
+        F.last(F.when(is_r, F.col("__ts")), ignorenulls=True)
+        .over(w_rows_after)
+        .alias("__nsame_r_t"),
+        F.last(F.when(~is_r, F.col("__ts")), ignorenulls=True)
+        .over(w_rows_after)
+        .alias("__nsame_s_t"),
     )
 
     prev_other = F.when(is_r, F.col("__prev_s")).otherwise(F.col("__prev_r"))
     next_other = F.when(is_r, F.col("__next_s")).otherwise(F.col("__next_r"))
+    prev_same_t = F.when(is_r, F.col("__psame_r_t")).otherwise(F.col("__psame_s_t"))
+    next_same_t = F.when(is_r, F.col("__nsame_r_t")).otherwise(F.col("__nsame_s_t"))
+    fo_t = F.when(is_r, F.col("__next_s.t")).otherwise(F.col("__next_r.t"))
+    lo_t = F.when(is_r, F.col("__prev_s.t")).otherwise(F.col("__prev_r.t"))
 
     # pair struct normalized so the R-side record is always left (reference's
     # role normalization, local_stream_buffer.py:369-376)
@@ -137,9 +188,23 @@ def nn_join(
             r_t.alias("r_t"), r_p.alias("r_p"), s_t.alias("s_t"), s_p.alias("s_p")
         )
 
-    # alpha: (self, earliest other-side at-or-after self) — unconditional
+    # Construction-based dedup (no extra shuffle): the emitted bag equals
+    # the kernel's SET of pairs. Derivation (each pair-equality case):
+    #  * two alphas collide only at mutual-first ties — the S row skips;
+    #  * beta(e) == alpha(LO(e)) iff e is the first own-side row at-or-after
+    #    LO(e), i.e. prevSame(e) is absent or strictly before LO(e);
+    #  * beta(e) == alpha(e) iff FO(e) == LO(e) (single equal-ts partner);
+    #  * two betas collide only at mutual-last ties — the S row skips.
+    first_in_group = prev_same_t.isNull() | (prev_same_t < F.col("__ts"))
+    last_in_group = next_same_t.isNull() | (next_same_t > F.col("__ts"))
+    dup_self = F.when(
+        is_r, F.col("__next_s").eqNullSafe(F.col("__prev_s"))
+    ).otherwise(F.col("__next_r").eqNullSafe(F.col("__prev_r")))
+
+    # alpha: (self, earliest other-side at-or-after self)
     alpha = F.when(
-        next_other.isNotNull(),
+        next_other.isNotNull()
+        & (is_r | ~((fo_t == F.col("__ts")) & first_in_group)),
         F.when(
             is_r,
             pair(F.col("__ts"), F.col("__rp"), next_other["t"], next_other["p"]),
@@ -148,12 +213,14 @@ def nn_join(
         ),
     )
     # beta: (latest other-side at-or-before self, self), confirmed by the
-    # existence of a forward other-side partner; skipped when the immediately
-    # preceding record is other-side (then it duplicates that record's alpha)
+    # existence of a forward other-side partner, minus the dedup skips above
     beta = F.when(
         prev_other.isNotNull()
         & next_other.isNotNull()
-        & (F.col("__prev_any_side") == F.col("__side")),
+        & prev_same_t.isNotNull()
+        & (prev_same_t >= lo_t)
+        & ~dup_self
+        & ~(~is_r & (lo_t == F.col("__ts")) & last_in_group),
         F.when(
             is_r,
             pair(F.col("__ts"), F.col("__rp"), prev_other["t"], prev_other["p"]),
@@ -289,31 +356,61 @@ def nn_join_banded(
     )
 
     part = [*keys, "__bucket"]
-    order_asc = [F.col("__ts").asc(), F.col("__side").asc()]
-    order_desc = [F.col("__ts").desc(), F.col("__side").desc()]
-    w_asc = Window.partitionBy(*part).orderBy(*order_asc).rowsBetween(
-        Window.unboundedPreceding, -1
+    # same inclusive-tie semantics as nn_join (see its dedup derivation):
+    # ts-only RANGE frames for the cross-side nearest lookups, a rows-frame
+    # total order for the same-side group-position predicates
+    # O(n) running frames only — see nn_join: asc/desc unbounded-preceding
+    # range frames for the inclusive cross-side lookups, reversed rows
+    # frames for the same-side group-position predicates
+    w_before = Window.partitionBy(*part).orderBy(F.col("__ts").asc()).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    w_desc = Window.partitionBy(*part).orderBy(*order_desc).rowsBetween(
-        Window.unboundedPreceding, -1
+    w_after = Window.partitionBy(*part).orderBy(F.col("__ts").desc()).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    w_lag = Window.partitionBy(*part).orderBy(*order_asc)
+    rows_order = [
+        F.col("__ts"), F.col("__side"), F.col("__rp"), F.col("__sp"),
+    ]
+    w_rows_before = Window.partitionBy(*part).orderBy(
+        *[c.asc() for c in rows_order]
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    w_rows_after = Window.partitionBy(*part).orderBy(
+        *[c.desc() for c in rows_order]
+    ).rowsBetween(Window.unboundedPreceding, -1)
 
     is_r = F.col("__side") == 0
     self_r = F.struct(F.col("__ts").alias("t"), F.col("__rp").alias("p"))
     self_s = F.struct(F.col("__ts").alias("t"), F.col("__sp").alias("p"))
     ann = merged.select(
         *keys, "__ts", "__side", "__rp", "__sp", "__bucket", "__own_bucket",
-        F.last(F.when(is_r, self_r), ignorenulls=True).over(w_asc).alias("__prev_r"),
-        F.last(F.when(~is_r, self_s), ignorenulls=True).over(w_asc).alias("__prev_s"),
-        F.last(F.when(is_r, self_r), ignorenulls=True).over(w_desc).alias("__next_r"),
-        F.last(F.when(~is_r, self_s), ignorenulls=True).over(w_desc).alias("__next_s"),
-        F.lag("__side").over(w_lag).alias("__prev_any_side"),
+        F.max(F.when(is_r, self_r)).over(w_before).alias("__prev_r"),
+        F.max(F.when(~is_r, self_s)).over(w_before).alias("__prev_s"),
+        F.min(F.when(is_r, self_r)).over(w_after).alias("__next_r"),
+        F.min(F.when(~is_r, self_s)).over(w_after).alias("__next_s"),
+        F.last(F.when(is_r, F.col("__ts")), ignorenulls=True)
+        .over(w_rows_before).alias("__psame_r_t"),
+        F.last(F.when(~is_r, F.col("__ts")), ignorenulls=True)
+        .over(w_rows_before).alias("__psame_s_t"),
+        F.last(F.when(is_r, F.col("__ts")), ignorenulls=True)
+        .over(w_rows_after).alias("__nsame_r_t"),
+        F.last(F.when(~is_r, F.col("__ts")), ignorenulls=True)
+        .over(w_rows_after).alias("__nsame_s_t"),
     ).join(F.broadcast(maxes), keys)
 
     prev_other = F.when(is_r, F.col("__prev_s")).otherwise(F.col("__prev_r"))
     next_other = F.when(is_r, F.col("__next_s")).otherwise(F.col("__next_r"))
     other_max = F.when(is_r, F.col("__max_s")).otherwise(F.col("__max_r"))
+    prev_same_t = F.when(is_r, F.col("__psame_r_t")).otherwise(F.col("__psame_s_t"))
+    next_same_t = F.when(is_r, F.col("__nsame_r_t")).otherwise(F.col("__nsame_s_t"))
+    fo_t = F.when(is_r, F.col("__next_s.t")).otherwise(F.col("__next_r.t"))
+    lo_t = F.when(is_r, F.col("__prev_s.t")).otherwise(F.col("__prev_r.t"))
+    first_in_group = prev_same_t.isNull() | (prev_same_t < F.col("__ts"))
+    last_in_group = next_same_t.isNull() | (next_same_t > F.col("__ts"))
+    # ties are at distance 0, hence always bucket-local: the local FO/LO
+    # are exact wherever these tie predicates can fire
+    dup_self = F.when(
+        is_r, F.col("__next_s").eqNullSafe(F.col("__prev_s"))
+    ).otherwise(F.col("__next_r").eqNullSafe(F.col("__prev_r")))
 
     def pair(r_t, r_p, s_t, s_p):
         return F.struct(
@@ -322,7 +419,10 @@ def nn_join_banded(
 
     in_band = lambda a, b: F.abs(secs(a) - secs(b)) <= F.lit(delta)  # noqa: E731
     alpha = F.when(
-        is_own & next_other.isNotNull() & in_band(F.col("__ts"), next_other["t"]),
+        is_own
+        & next_other.isNotNull()
+        & in_band(F.col("__ts"), next_other["t"])
+        & (is_r | ~((fo_t == F.col("__ts")) & first_in_group)),
         F.when(
             is_r, pair(F.col("__ts"), F.col("__rp"), next_other["t"], next_other["p"])
         ).otherwise(
@@ -333,7 +433,10 @@ def nn_join_banded(
         is_own
         & prev_other.isNotNull()
         & in_band(F.col("__ts"), prev_other["t"])
-        & (F.col("__prev_any_side") == F.col("__side"))
+        & prev_same_t.isNotNull()
+        & (prev_same_t >= lo_t)
+        & ~dup_self
+        & ~(~is_r & (lo_t == F.col("__ts")) & last_in_group)
         & other_max.isNotNull()
         & (other_max >= F.col("__ts")),
         F.when(

@@ -2,10 +2,11 @@
 
 * cosine_topk — brute-force exact top-k: cross join of a (small) query set
   against the corpus with the dot product as a pure Catalyst expression
-  (``zip_with`` + ``aggregate`` — JVM-side, codegen'd, no Python), then a
-  per-query ``row_number`` window. The query side is broadcast; at 100 TB
-  the corpus side stays partition-parallel with no shuffle before the
-  (tiny) top-k exchange.
+  (``zip_with`` + ``aggregate`` — JVM-side, codegen'd), a per-Arrow-batch
+  local top-k pre-reduction (pandas, 3 scalar columns), then the global
+  per-query ``row_number`` window. The query side is broadcast; the rank
+  exchange carries only ~(batches × |queries| × k) rows — never the full
+  scored cross product.
 * cosine_topk_lsh — the scale path: random-hyperplane LSH signatures
   (sign pattern of h dot products) bucket the corpus; only same-bucket
   (or ≤1-bit-off, via multi-probe) candidates are scored. Recall is
@@ -45,6 +46,26 @@ def cosine_sim_col(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _local_topk_reducer(group_col: str, order_col: str, tie_col: str, k: int):
+    """mapInPandas stage: keep the k best rows per group within each Arrow
+    batch — a superset of the global top-k, so correctness is unchanged
+    while only ~(partitions × queries × k) rows reach the rank shuffle."""
+    import pandas as pd  # noqa: F401  (executor-side import)
+
+    def reduce(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(
+                        [order_col, tie_col], ascending=[False, True]
+                    )
+                    .groupby(group_col, sort=False)
+                    .head(k)
+                )
+
+    return reduce
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -53,27 +74,37 @@ def cosine_topk(
     k: int = 5,
     query_prefix: str = "q_",
 ) -> DataFrame:
-    """Exact brute-force cosine top-k of corpus rows per query row."""
+    """Exact brute-force cosine top-k of corpus rows per query row.
+
+    Scoring is JVM-side (codegen'd fold); ranking happens on the
+    4-decimal-rounded similarity with an ascending-id tiebreak (a total
+    order — reproducible across engines and partitionings). A per-batch
+    local top-k pre-reduction runs before the global rank window, so the
+    exchange carries ~(batches × |queries| × k) rows instead of the full
+    |corpus| × |queries| scored set.
+    """
+    q_id = f"{query_prefix}{id_col}"
     q = queries.select(
-        F.col(id_col).alias(f"{query_prefix}{id_col}"),
+        F.col(id_col).alias(q_id),
         F.col(vec_col).alias("__qv"),
     )
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
-    scored = c.crossJoin(F.broadcast(q)).filter(
-        F.col(id_col) != F.col(f"{query_prefix}{id_col}")
+    scored = c.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col(q_id))
+    # round BEFORE ranking: ranking on the unrounded sim can disagree with
+    # the rounded tiebreak order (and with other engines' FP sum order)
+    sim = F.round(cosine_sim_col(F.col("__qv"), F.col("__cv")), 4)
+    scored = scored.select(q_id, id_col, sim.alias("sim"))
+    reduced = scored.mapInPandas(
+        _local_topk_reducer(q_id, "sim", id_col, k), scored.schema
     )
-    sim = cosine_sim_col(F.col("__qv"), F.col("__cv"))
-    w = Window.partitionBy(f"{query_prefix}{id_col}").orderBy(
-        F.desc("sim"), F.asc(id_col)
-    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(id_col))
     return (
-        scored.select(f"{query_prefix}{id_col}", id_col, sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
+        reduced.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            f"{query_prefix}{id_col}",
+            q_id,
             F.col(id_col).alias("neighbor_id"),
-            F.round("sim", 4).alias("sim"),
+            "sim",
             "rank",
         )
     )
@@ -158,7 +189,9 @@ def cosine_topk_lsh(
     joined = c.join(F.broadcast(q), ["tbl", "bucket"]).filter(
         F.col(id_col) != F.col(f"{query_prefix}{id_col}")
     )
-    sim = cosine_sim_col(F.col("__qv"), F.col("__cv"))
+    # rank on the rounded sim (ascending-id tiebreak) — same total order
+    # as cosine_topk and the SQL oracle
+    sim = F.round(cosine_sim_col(F.col("__qv"), F.col("__cv")), 4)
     w = Window.partitionBy(f"{query_prefix}{id_col}").orderBy(
         F.desc("sim"), F.asc(id_col)
     )
@@ -170,7 +203,7 @@ def cosine_topk_lsh(
         .select(
             f"{query_prefix}{id_col}",
             F.col(id_col).alias("neighbor_id"),
-            F.round("sim", 4).alias("sim"),
+            "sim",
             "rank",
         )
     )

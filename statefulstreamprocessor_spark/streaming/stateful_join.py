@@ -71,9 +71,25 @@ def _series_codes(buf: pd.DataFrame, keys: list[str]) -> np.ndarray:
     return np.cumsum(new) - 1
 
 
-def _next_prev_other(side: np.ndarray, code: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Nearest other-side positions per row for a (series, ts, side)-sorted
-    frame (same series ⇔ same contiguous block; -1 = none)."""
+def _ts_ranks(code: np.ndarray, ts: np.ndarray) -> np.ndarray:
+    """Ordinal of each distinct (series, ts) pair for a (code, ts)-sorted
+    frame — strictly increasing across series boundaries, equal exactly for
+    equal-ts rows of the same series (either side)."""
+    n = len(code)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    changed = np.empty(n, dtype=bool)
+    changed[0] = True
+    changed[1:] = (code[1:] != code[:-1]) | (ts[1:] != ts[:-1])
+    return np.cumsum(changed) - 1
+
+
+def _next_prev_other(
+    side: np.ndarray, code: np.ndarray, tsr: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Nearest other-side positions per row, ts-INCLUSIVE (the kernel's
+    searchsorted semantics: an equal-ts other-side row is both at-or-after
+    and at-or-before). Frame sorted by (series, ts, side); -1 = none."""
     n = len(side)
     idx = np.arange(n, dtype=np.int64)
     pos = {0: idx[side == 0], 1: idx[side == 1]}
@@ -83,17 +99,38 @@ def _next_prev_other(side: np.ndarray, code: np.ndarray) -> tuple[np.ndarray, np
         own_pos, other_pos = pos[own], pos[1 - own]
         if len(own_pos) == 0 or len(other_pos) == 0:
             continue
-        j = np.searchsorted(other_pos, own_pos, side="right")
+        ot = tsr[other_pos]
+        j = np.searchsorted(ot, tsr[own_pos], side="left")
         has = j < len(other_pos)
         cand = other_pos[j[has]]
         ok = code[cand] == code[own_pos[has]]
         next_o[own_pos[has][ok]] = cand[ok]
-        j = np.searchsorted(other_pos, own_pos, side="left") - 1
+        j = np.searchsorted(ot, tsr[own_pos], side="right") - 1
         has = j >= 0
         cand = other_pos[j[has]]
         ok = code[cand] == code[own_pos[has]]
         prev_o[own_pos[has][ok]] = cand[ok]
     return next_o, prev_o
+
+
+def _same_side_neighbors(
+    side: np.ndarray, code: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Positional previous/next same-side row within the same series block
+    (-1 = none) — feeds the tie-group dedup predicates."""
+    n = len(side)
+    idx = np.arange(n, dtype=np.int64)
+    prev_s = np.full(n, -1, dtype=np.int64)
+    next_s = np.full(n, -1, dtype=np.int64)
+    for own in (0, 1):
+        p = idx[side == own]
+        if len(p) == 0:
+            continue
+        pr = p[:-1]
+        ok = code[pr] == code[p[1:]]
+        prev_s[p[1:][ok]] = pr[ok]
+        next_s[pr[ok]] = p[1:][ok]
+    return prev_s, next_s
 
 
 def _decide(
@@ -121,7 +158,9 @@ def _decide(
         n_codes = int(code[-1]) + 1 if n else 0
         idx = np.arange(n, dtype=np.int64)
         pos = {0: idx[side == 0], 1: idx[side == 1]}
-        next_o, prev_o = _next_prev_other(side, code)
+        tsr = _ts_ranks(code, ts)
+        next_o, prev_o = _next_prev_other(side, code, tsr)
+        psame, nsame = _same_side_neighbors(side, code)
 
         # per-(series, side) max event time: ts ascends within a series, so
         # sequential assignment leaves the max (always present in state —
@@ -150,42 +189,77 @@ def _decide(
             )
             return r_i[keep], s_i[keep]
 
-        # ---- alpha
+        # dedup predicates (mirror operators/nn_join.py, see its derivation):
+        # first/last within the same-(series, ts, side) tie group
+        first_in_group = (psame < 0) | (ts[np.maximum(psame, 0)] < ts)
+        last_in_group = (nsame < 0) | (ts[np.maximum(nsame, 0)] > ts)
+
+        # ---- alpha: (self, earliest other-side at-or-after) — at a mutual
+        # tie both rows see each other; only the R row emits the pair
         a_sel = np.nonzero((~alpha) & (next_o >= 0))[0]
         a_sel = a_sel[ts[next_o[a_sel]] <= wm_us]
         if len(a_sel):
             partners = next_o[a_sel]
-            r_i = np.where(side[a_sel] == 0, a_sel, partners)
-            s_i = np.where(side[a_sel] == 0, partners, a_sel)
+            suppress = (
+                (side[a_sel] == 1)
+                & (ts[partners] == ts[a_sel])
+                & first_in_group[a_sel]
+            )
+            e_sel, e_par = a_sel[~suppress], partners[~suppress]
+            r_i = np.where(side[e_sel] == 0, e_sel, e_par)
+            s_i = np.where(side[e_sel] == 0, e_par, e_sel)
             r_i, s_i = band(r_i, s_i)
             if len(r_i):
                 frames.append(project(r_i, s_i))
             alpha[a_sel] = True
 
-        # ---- beta
+        # ---- beta: (latest other-side at-or-before, self), skipped when it
+        # duplicates the partner's alpha (own prevSame strictly before the
+        # partner), the own alpha (single equal-ts partner: po == no), or
+        # the mirrored beta at a mutual-last tie (S side skips)
         b_sel = np.nonzero((~beta) & (ts <= wm_us))[0]
         if len(b_sel):
             po = prev_o[b_sel]
-            prev_i = np.maximum(b_sel - 1, 0)
-            adjacent_same = (
-                (b_sel > 0)
-                & (side[prev_i] == side[b_sel])
-                & (code[prev_i] == code[b_sel])
+            ps = psame[b_sel]
+            not_dup_partner_alpha = (ps >= 0) & (
+                ts[np.maximum(ps, 0)] >= ts[np.maximum(po, 0)]
             )
-            valid = (po >= 0) & adjacent_same
+            not_dup_own_alpha = po != next_o[b_sel]
+            not_dup_mirror_beta = ~(
+                (side[b_sel] == 1)
+                & (ts[np.maximum(po, 0)] == ts[b_sel])
+                & last_in_group[b_sel]
+            )
+            valid = (
+                (po >= 0)
+                & not_dup_partner_alpha
+                & not_dup_own_alpha
+                & not_dup_mirror_beta
+            )
             v_idx, v_po = b_sel[valid], po[valid]
             if len(v_idx):
+                # forward proof: some other-side record at-or-after self
+                need_side = (1 - side[v_idx]).astype(np.int64)
+                own_ts = ts[v_idx]
+                own_code = code[v_idx]
                 r_i = np.where(side[v_idx] == 0, v_idx, v_po)
                 s_i = np.where(side[v_idx] == 0, v_po, v_idx)
-                r_i, s_i = band(r_i, s_i)
+                if delta_us is not None:
+                    kept = (
+                        np.abs(
+                            ts[r_i].astype(np.float64) - ts[s_i].astype(np.float64)
+                        )
+                        <= delta_us
+                    )
+                    r_i, s_i = r_i[kept], s_i[kept]
+                    need_side = need_side[kept]
+                    own_ts = own_ts[kept]
+                    own_code = own_code[kept]
                 if len(r_i):
-                    later_is_r = ts[r_i] >= ts[s_i]
-                    own_ts = np.where(later_is_r, ts[r_i], ts[s_i])
-                    own_code = code[np.where(later_is_r, r_i, s_i)]
-                    # later row on side X needs an other-side record >= it
-                    need_side = np.where(later_is_r, 1, 0)
                     omax = np.where(
-                        later_is_r, max_side[1][own_code], max_side[0][own_code]
+                        need_side == 1,
+                        max_side[1][own_code],
+                        max_side[0][own_code],
                     )
                     now = omax >= own_ts
                     if now.any():
@@ -267,7 +341,8 @@ def _decide(
         if (~b).any() and (ts2[~b] > wm_us).any():
             wm_blocked = True
         if not wm_blocked and (~a).any():
-            n2, _ = _next_prev_other(side2, _series_codes(buf, keys))
+            code2 = _series_codes(buf, keys)
+            n2, _ = _next_prev_other(side2, code2, _ts_ranks(code2, ts2))
             sel = np.nonzero(~a)[0]
             part = n2[sel]
             wm_blocked = bool((part >= 0).any() and (ts2[part[part >= 0]] > wm_us).any())
@@ -357,15 +432,22 @@ def streaming_nn_join(
             if len(np_new) == 0:
                 new = []
         if new:
+            side_vals = np_new[side_col].to_numpy()
+            bad = ~np.isin(side_vals, ("r", "s"))
+            if bad.any():
+                # fail fast: a null/unknown side (e.g. an unrouted quantity
+                # from route_side) would silently corrupt the pair set
+                raise ValueError(
+                    f"streaming_nn_join: {side_col!r} must be 'r'/'s'; got "
+                    f"{sorted(set(map(str, side_vals[bad])))[:5]}"
+                )
             add = pd.DataFrame(
                 {
                     "__ts": np_new[ts_col]
                     .to_numpy()
                     .astype("datetime64[us]")
                     .astype(np.int64),
-                    "__side": np.where(
-                        np_new[side_col].to_numpy() == "r", 0, 1
-                    ).astype(np.int8),
+                    "__side": np.where(side_vals == "r", 0, 1).astype(np.int8),
                     "__alpha": np.zeros(len(np_new), dtype=bool),
                     "__beta": np.zeros(len(np_new), dtype=bool),
                     ts_col: np_new[ts_col].to_numpy(),

@@ -114,6 +114,90 @@ def test_nn_join_empty_side(spark):
     ).count() == 0
 
 
+def test_asof_equal_ts_semantics(spark):
+    """Documented inclusive semantics at equal timestamps: backward picks
+    the equal-ts right row (latest right.ts <= left.ts), forward picks it
+    too (earliest right.ts >= left.ts) — ADVICE.md item 2."""
+    from statefulstreamprocessor_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 10.0, 1.0)], ["key", "ts", "lv"])
+    right = spark.createDataFrame(
+        [("k", 5.0, 50.0), ("k", 10.0, 100.0), ("k", 20.0, 200.0)],
+        ["key", "ts", "rv"],
+    )
+    back = asof_join(left, right, "key", "ts", direction="backward").collect()
+    assert len(back) == 1 and back[0]["right_ts"] == 10.0
+    assert back[0]["right_rv"] == 100.0
+    fwd = asof_join(left, right, "key", "ts", direction="forward").collect()
+    assert len(fwd) == 1 and fwd[0]["right_ts"] == 10.0
+    assert fwd[0]["right_rv"] == 100.0
+
+
+def test_nn_join_cross_side_tie_minimal(spark):
+    """r=[10,30], s=[10]: the reference joins at s.time >= r.time, so the
+    only pair is (10,10) — r30 has no forward partner and (30,10) must NOT
+    appear (round-1 divergence, ADVICE.md item 1)."""
+    df_r = spark.createDataFrame(
+        [("k", 10.0, 0.0), ("k", 30.0, 1.0)], ["key", "ts", "val"]
+    )
+    df_s = spark.createDataFrame([("k", 10.0, 9.0)], ["key", "ts", "val"])
+    out = nn_join(df_r, df_s, "key", "ts")
+    got = sorted((r["r_ts"], r["s_ts"]) for r in out.collect())
+    assert got == [(10.0, 10.0)]
+    ci, cj = closure_pairs([10.0, 30.0], [10.0])
+    assert got == sorted((float([10.0, 30.0][i]), 10.0) for i, j in zip(ci, cj))
+
+
+def test_nn_join_tie_groups_match_kernel(spark):
+    """Randomized quantized timestamps force cross-side AND same-side tie
+    groups; the operator's bag must equal the kernel's pair set exactly
+    (multiset compare catches both misses and surviving duplicates)."""
+    import numpy as np
+
+    random.seed(23)
+    for trial in range(10):
+        rt = sorted(random.randrange(0, 10) for _ in range(random.randint(1, 12)))
+        st_ = sorted(random.randrange(0, 10) for _ in range(random.randint(1, 12)))
+        # val encodes the per-side index; within a same-(ts, side) group the
+        # payload order (ts, val) equals the kernel's index order
+        df_r = spark.createDataFrame(
+            [("k", float(t), float(i)) for i, t in enumerate(rt)],
+            ["key", "ts", "val"],
+        )
+        df_s = spark.createDataFrame(
+            [("k", float(t), float(i)) for i, t in enumerate(st_)],
+            ["key", "ts", "val"],
+        )
+        out = nn_join(df_r, df_s, "key", "ts")
+        got = sorted((int(r["r_val"]), int(r["s_val"])) for r in out.collect())
+        ci, cj = closure_pairs(np.array(rt, float), np.array(st_, float))
+        want = sorted(zip(ci.tolist(), cj.tolist()))
+        assert got == want, (trial, rt, st_, got, want)
+
+
+def test_nn_join_banded_tie_groups_match_kernel(spark):
+    from statefulstreamprocessor_spark.operators.nn_join import nn_join_banded
+    import numpy as np
+
+    random.seed(29)
+    for _ in range(6):
+        rt = sorted(random.randrange(0, 10) for _ in range(random.randint(1, 12)))
+        st_ = sorted(random.randrange(0, 10) for _ in range(random.randint(1, 12)))
+        df_r = spark.createDataFrame(
+            [("k", float(t), float(i)) for i, t in enumerate(rt)],
+            ["key", "ts", "val"],
+        )
+        df_s = spark.createDataFrame(
+            [("k", float(t), float(i)) for i, t in enumerate(st_)],
+            ["key", "ts", "val"],
+        )
+        out = nn_join_banded(df_r, df_s, "key", "ts", delta=3.0)
+        got = sorted((int(r["r_val"]), int(r["s_val"])) for r in out.collect())
+        ci, cj = closure_pairs(np.array(rt, float), np.array(st_, float), 3.0)
+        want = sorted(zip(ci.tolist(), cj.tolist()))
+        assert got == want, (rt, st_, got, want)
+
+
 def test_nn_join_tiebreak_deterministic(spark):
     """Equal timestamps: the tiebreak column makes the total order — and
     therefore the pair set — deterministic across runs/partitionings."""

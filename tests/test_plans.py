@@ -70,6 +70,25 @@ def test_cosine_topk_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_cosine_topk_prereduces_before_rank_exchange(spark):
+    """The full |corpus|×|queries| scored set must NOT reach the rank
+    window's hash exchange: the local top-k (MapInPandas) has to sit below
+    the exchange in the plan tree (round-1 VERDICT 'What's wrong' #4)."""
+    from statefulstreamprocessor_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    plan = _plan(cosine_topk(q, emb, "vec_id", "embedding", k=3))
+    # formatted plans list operators leaves-up: the pre-reduction must
+    # appear, and the (single) hashpartitioning exchange must consume it —
+    # i.e. the MapInPandas node id is SMALLER than the exchange's
+    map_ids = [int(m) for m in re.findall(r"^\((\d+)\) MapInPandas", plan, re.M)]
+    ex_ids = [int(m) for m in re.findall(r"^\((\d+)\) Exchange", plan, re.M)]
+    assert map_ids, plan
+    assert ex_ids, plan
+    assert min(map_ids) < min(ex_ids), plan
+
+
 def test_join_then_window_composition(spark, events):
     """SURVEY §7 'hard' item: stateful join composed with a windowed agg —
     chained as join → (table) → tumbling rollup, one statement in batch."""

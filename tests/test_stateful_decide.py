@@ -77,6 +77,56 @@ def test_incremental_equals_closure(make):
     assert got == want
 
 
+def test_incremental_tie_groups_equal_closure():
+    """Quantized timestamps (cross- and same-side ties) through every
+    watermark schedule cut — emitted pairs must equal the kernel set, by
+    per-side index identity (catches duplicate emissions too)."""
+    import random
+
+    proj = [("r_v", "v", "r"), ("s_v", "v", "s")]
+
+    def mk(rows):
+        df = pd.DataFrame(rows, columns=["k", "__ts", "__side", "v"])
+        df["__side"] = df["__side"].astype(np.int8)
+        df["__alpha"] = False
+        df["__beta"] = False
+        df["t"] = df["__ts"]
+        return df.sort_values(["k", "__ts", "__side"], kind="mergesort").reset_index(
+            drop=True
+        )
+
+    random.seed(31)
+    for _ in range(10):
+        rt = sorted(random.randrange(0, 8) for _ in range(random.randint(1, 10)))
+        st_ = sorted(random.randrange(0, 8) for _ in range(random.randint(1, 10)))
+        rows = sorted(
+            [("k", t * 1_000_000, 0, i) for i, t in enumerate(rt)]
+            + [("k", t * 1_000_000, 1, i) for i, t in enumerate(st_)],
+            key=lambda x: (x[1], x[2], x[3]),
+        )
+        cut = random.randint(0, len(rows))
+        wm0 = -(10**18)
+        wm1 = max((x[1] for x in rows[:cut]), default=wm0)
+        buf, pend, emitted = None, None, []
+        for chunk, wm in [(rows[:cut], wm0), (rows[cut:], wm1),
+                          ([], max(x[1] for x in rows))]:
+            add = mk(chunk)
+            buf = (
+                add if buf is None
+                else pd.concat([buf, add], ignore_index=True)
+                .sort_values(["k", "__ts", "__side"], kind="mergesort")
+                .reset_index(drop=True)
+            )
+            buf, pend, out, _ = _decide(buf, pend, wm, None, ["k"], proj)
+            if out is not None:
+                emitted += list(zip(out["r_v"], out["s_v"]))
+        ci, cj = closure_pairs(
+            np.array(rt, dtype=np.float64), np.array(st_, dtype=np.float64)
+        )
+        want = sorted(zip(ci.tolist(), cj.tolist()))
+        assert sorted(emitted) == want, (rt, st_, cut, sorted(emitted), want)
+
+
 def test_state_bounded_by_retirement():
     # long interleaved stream: retained state must stay tiny per series
     n = 2000
