@@ -104,6 +104,39 @@ def scaling_worker(cores: int, input_dir: str) -> None:
     df_warm.count()  # warm JVM + page cache
     # spin up python UDF workers (pandas/numpy imports) outside the window
     df_warm.limit(5000).select(html_to_text_udf(F.col("html"))).collect()
+    # warm the full streaming path too (state-operator python workers,
+    # RocksDB JNI, codegen, sink classes) on one input file — one-time
+    # per-JVM costs, identical at both parallelism levels, excluded from
+    # the measured window like any JIT warmup
+    import glob as _glob
+
+    first_file = sorted(_glob.glob(os.path.join(input_dir, "*.parquet")))[0]
+    warm_out = tempfile.mkdtemp(prefix=f"ssp_warm_{cores}_", dir="/dev/shm")
+    warm_in = os.path.join(warm_out, "in")  # file stream source needs a dir
+    os.makedirs(warm_in)
+    shutil.copy(first_file, warm_in)
+    warm_raw = read_webtext_stream(spark, warm_in, max_files_per_trigger=1)
+    warm_stream = (
+        warm_raw.select(
+            "url",
+            F.col("warc_ts").cast("timestamp").alias("warc_ts"),
+            "side",
+            "lang",
+            F.md5(html_to_text_udf(F.col("html"))).alias("text_md5"),
+        ).withWatermark("warc_ts", "0 seconds")
+    )
+    warm_q = (
+        streaming_nn_join(
+            warm_stream, ["url"], "warc_ts", "side", n_buckets=32,
+            assume_in_order=True,
+        )
+        .writeStream.foreachBatch(IdempotentBatchSink(warm_out))
+        .option("checkpointLocation", os.path.join(warm_out, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    warm_q.awaitTermination()
+    shutil.rmtree(warm_out, ignore_errors=True)
 
     raw = read_webtext_stream(spark, input_dir, max_files_per_trigger=N_FILES)
     stream = (
@@ -115,7 +148,12 @@ def scaling_worker(cores: int, input_dir: str) -> None:
             F.md5(html_to_text_udf(F.col("html"))).alias("text_md5"),
         ).withWatermark("warc_ts", "0 seconds")
     )
-    joined = streaming_nn_join(stream, ["url"], "warc_ts", "side", n_buckets=32)
+    # assume_in_order: the bench input is a time-ordered log replay (the
+    # reference's own per-stream in-order contract) — decisions finalize on
+    # arrival and state holds only per-series tails
+    joined = streaming_nn_join(
+        stream, ["url"], "warc_ts", "side", n_buckets=32, assume_in_order=True
+    )
     sink = IdempotentBatchSink(out_dir)
     t0 = time.perf_counter()
     q = (

@@ -14,7 +14,6 @@ counting, and fingerprinting for the training-data pipeline operators.
 
 from __future__ import annotations
 
-import hashlib
 import html as _html
 import re
 
@@ -31,6 +30,7 @@ __all__ = [
     "lang_id_py",
     "fingerprint_md5",
     "winnow_fingerprints",
+    "winnow_fingerprints_udf",
 ]
 
 _SCRIPT_RE = re.compile(rb"<(script|style)\b.*?</\1>", re.S | re.I)
@@ -118,24 +118,80 @@ def fingerprint_md5(text_col):
     return F.md5(text_col)
 
 
+_WINNOW_B = 0x100000001B3  # odd → invertible mod 2^64 (FNV prime)
+_WINNOW_BINV = pow(_WINNOW_B, -1, 1 << 64)
+
+
+def _winnow_np(data: bytes, k: int, window: int):
+    """Vectorized winnowing kernel over UTF-8 bytes (pure numpy, O(n)).
+
+    k-gram hashes via a position-normalized polynomial rolling hash in
+    uint64 wraparound arithmetic (mod 2^64; the base is odd, hence
+    invertible): g(i) = (A(i+k) − A(i)) · B^i with A the cumulative sum of
+    c[t]·B^(−t). Window minima + the leftmost-min positional dedup give the
+    standard winnowing fingerprint set.
+    """
+    import numpy as np
+
+    c = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(c)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        binv_pows = np.empty(n, dtype=np.uint64)
+        binv_pows[0] = 1
+        b_pows = np.empty(n, dtype=np.uint64)
+        b_pows[0] = 1
+        if n > 1:
+            np.multiply.accumulate(
+                np.full(n - 1, _WINNOW_BINV, dtype=np.uint64), out=binv_pows[1:]
+            )
+            np.multiply.accumulate(
+                np.full(n - 1, _WINNOW_B, dtype=np.uint64), out=b_pows[1:]
+            )
+        a = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(c * binv_pows, out=a[1:])
+        g = (a[k:] - a[: n - k + 1]) * b_pows[: n - k + 1]
+    m = len(g)
+    w = min(window, m)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(g, w)
+    rel = win.argmin(axis=1)
+    pos = np.arange(len(win), dtype=np.int64) + rel
+    keep = np.empty(len(pos), dtype=bool)
+    keep[0] = True
+    keep[1:] = pos[1:] != pos[:-1]
+    return g[pos[keep]]
+
+
 def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
     """Winnowing document fingerprint: min rolling-hash per window over
-    k-grams (robust local fingerprints for near-dup detection)."""
-    if not text or len(text) < k:
+    k-grams (robust local fingerprints for near-dup detection). Thin
+    wrapper over the vectorized numpy kernel; the hot-path form is
+    :func:`winnow_fingerprints_udf`."""
+    if not text:
         return []
-    hashes = [
-        int.from_bytes(
-            hashlib.blake2b(text[i : i + k].encode(), digest_size=8).digest(), "big"
-        )
-        for i in range(len(text) - k + 1)
-    ]
-    out = []
-    prev = None
-    for i in range(max(len(hashes) - window + 1, 1)):
-        w = hashes[i : i + window]
-        m = min(w)
-        pos = i + w.index(m)
-        if pos != prev:
-            out.append(m)
-            prev = pos
-    return out
+    return [int(x) for x in _winnow_np(text.encode("utf-8"), k, window)]
+
+
+def winnow_fingerprints_udf(k: int = 8, window: int = 4):
+    """Arrow-batched winnowing UDF (array<long> of fingerprints per doc) —
+    numpy per document, never per-character Python."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def fp(text: pd.Series) -> pd.Series:
+        def one(t):
+            if not t:
+                return []
+            # reinterpret uint64 as int64 for the BIGINT column
+            return (
+                _winnow_np(t.encode("utf-8"), k, window)
+                .astype("int64")
+                .tolist()
+            )
+
+        return text.map(one)
+
+    return fp

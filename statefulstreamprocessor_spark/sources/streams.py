@@ -19,7 +19,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["rate_replay", "kafka_source", "kafka_sink_options"]
+__all__ = [
+    "rate_replay",
+    "kafka_source",
+    "kafka_sink_options",
+    "kafka_like_stream",
+    "deserialize_kafka_json",
+    "KAFKA_WIRE_DDL",
+]
+
+# Kafka's exact wire schema (what spark-sql-kafka exposes) — the broker-free
+# stand-in below produces it so consumer-side code is byte-compatible
+KAFKA_WIRE_DDL = (
+    "key binary, value binary, topic string, partition int, "
+    "offset bigint, timestamp timestamp_ntz, timestampType int"
+)
 
 
 def rate_replay(
@@ -70,6 +84,41 @@ def kafka_source(
     if max_offsets_per_trigger:
         r = r.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     return r.load()
+
+
+def kafka_like_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Broker-free Kafka contract stand-in: a file stream carrying Kafka's
+    exact wire schema (key/value/topic/partition/offset/timestamp).
+
+    Progress ownership is identical to the real source: the streaming
+    checkpoint — not any consumer group — records what was consumed, so a
+    killed query resumes without re-emitting offsets (the reference's
+    manual ``auto.commit=False`` bookkeeping,
+    ``ts_join_with_kafka_eos.py:41-49``, with the commit moved into the
+    engine). Swap in :func:`kafka_source` on a real cluster; downstream
+    code is unchanged.
+    """
+    return (
+        spark.readStream.schema(KAFKA_WIRE_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def deserialize_kafka_json(df: DataFrame, value_ddl: str) -> DataFrame:
+    """Deserializer (S8, reference ``StreamingJobs/.../Deserializer``):
+    JSON value → typed columns, with the per-record Kafka lineage
+    (topic, partition, offset) carried alongside — the reference logs the
+    same triple per consumed record (ts_join_with_kafka_eos.py:151-156)."""
+    return df.select(
+        "topic",
+        "partition",
+        "offset",
+        F.col("timestamp").alias("kafka_ts"),
+        F.from_json(F.col("value").cast("string"), value_ddl).alias("v"),
+    ).select("topic", "partition", "offset", "kafka_ts", "v.*")
 
 
 def kafka_sink_options(bootstrap_servers: str, topic: str) -> dict[str, str]:

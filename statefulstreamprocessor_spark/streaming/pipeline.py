@@ -54,6 +54,7 @@ def build_webtext_join(
     watermark: str = "0 seconds",
     delta: float | None = None,
     use_extractor: bool = True,
+    assume_in_order: bool = False,
 ) -> DataFrame:
     # watermarks require TIMESTAMP; parquet NTZ is cast once at the boundary
     # (sessions run UTC; on Iceberg the column is timestamptz already)
@@ -72,7 +73,8 @@ def build_webtext_join(
         cols.append(F.col("text"))
     stream = raw.select(*cols).withWatermark("warc_ts", watermark)
     return streaming_nn_join(
-        stream, keys=["url"], ts_col="warc_ts", side_col="side", delta=delta
+        stream, keys=["url"], ts_col="warc_ts", side_col="side", delta=delta,
+        assume_in_order=assume_in_order,
     )
 
 
@@ -84,6 +86,7 @@ def run_webtext_pipeline(
     delta: float | None = None,
     max_files_per_trigger: int = 4,
     use_extractor: bool = True,
+    assume_in_order: bool = False,
 ) -> IdempotentBatchSink:
     """Run the pipeline to completion (availableNow) with exactly-once sink.
 
@@ -92,7 +95,9 @@ def run_webtext_pipeline(
     contract (test_kafka_eos_joiner.py:285-286).
     """
     raw = read_webtext_stream(spark, input_dir, max_files_per_trigger)
-    joined = build_webtext_join(raw, watermark, delta, use_extractor)
+    joined = build_webtext_join(
+        raw, watermark, delta, use_extractor, assume_in_order=assume_in_order
+    )
     sink = IdempotentBatchSink(out_dir)
     q = (
         joined.writeStream.foreachBatch(sink)

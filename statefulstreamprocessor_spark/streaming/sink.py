@@ -74,9 +74,13 @@ class IdempotentBatchSink:
         # row count from the written parquet footers — never batch_df.count(),
         # which would re-execute the whole micro-batch plan a second time
         n = batch_df.sparkSession.read.parquet(epoch_dir).count()
+        self._commit(batch_id)
+        # lineage strictly AFTER the atomic commit: a crash between the two
+        # re-runs the epoch (ledger miss) without having logged it, so the
+        # record appears exactly once; the reverse order could double-log a
+        # replayed epoch (data stays exactly-once either way)
         with open(self.lineage_path, "a") as f:
             f.write(json.dumps({"batch_id": batch_id, "rows": n}) + "\n")
-        self._commit(batch_id)
 
     # --------------------------------------------------------------- read
     def read(self, spark: SparkSession) -> DataFrame:

@@ -140,12 +140,23 @@ def _decide(
     delta_us: float | None,
     keys: list[str],
     proj: list[tuple[str, str, str]],
+    in_order: bool = False,
 ) -> tuple[pd.DataFrame, pd.DataFrame | None, pd.DataFrame | None, bool]:
     """Vectorized multi-series decision step (pure pandas/numpy; testable).
 
     buf: sorted by (keys, __ts, __side); columns __ts int64(us), __side
     int8, __alpha/__beta bool, keys, ts + payload columns.
     Returns (buf, pend, out_rows|None, has_pending).
+
+    ``in_order=True`` adopts the reference's per-stream in-order arrival
+    assumption (README:220-230): within a series each side's event times
+    arrive non-decreasing, so a decision is final as soon as its lookups
+    are — alpha when the forward partner exists, beta when BOTH sides'
+    max-seen strictly exceed the row's time (strictness keeps equal-ts tie
+    groups complete). Decisions no longer lag the watermark by one batch,
+    and decided rows retire against the per-side max rather than the
+    watermark, so state holds only the per-series tails. The emitted set
+    is identical (golden-tested); only latency and state size change.
     """
     frames: list[pd.DataFrame] = []
     n = len(buf)
@@ -197,7 +208,11 @@ def _decide(
         # ---- alpha: (self, earliest other-side at-or-after) — at a mutual
         # tie both rows see each other; only the R row emits the pair
         a_sel = np.nonzero((~alpha) & (next_o >= 0))[0]
-        a_sel = a_sel[ts[next_o[a_sel]] <= wm_us]
+        if not in_order:
+            # partner must be watermark-final; in-order mode the forward
+            # partner is final the moment it exists (no earlier other-side
+            # row can still arrive below it)
+            a_sel = a_sel[ts[next_o[a_sel]] <= wm_us]
         if len(a_sel):
             partners = next_o[a_sel]
             suppress = (
@@ -217,7 +232,14 @@ def _decide(
         # duplicates the partner's alpha (own prevSame strictly before the
         # partner), the own alpha (single equal-ts partner: po == no), or
         # the mirrored beta at a mutual-last tie (S side skips)
-        b_sel = np.nonzero((~beta) & (ts <= wm_us))[0]
+        b_decidable = ts <= wm_us
+        if in_order:
+            # both sides' max-seen strictly past the row: its tie group and
+            # every lookup (LO, prevSame/nextSame, forward proof) is final
+            b_decidable = b_decidable | (
+                (max_side[0][code] > ts) & (max_side[1][code] > ts)
+            )
+        b_sel = np.nonzero((~beta) & b_decidable)[0]
         if len(b_sel):
             po = prev_o[b_sel]
             ps = psame[b_sel]
@@ -284,11 +306,31 @@ def _decide(
         thresh = np.full((2, max(n_codes, 1)), _NEG, dtype=np.int64)
         for s_val in (0, 1):
             p = pos[s_val]
-            p = p[ts[p] <= wm_us]
+            if in_order:
+                # a side's rows may still be the backward partner of a
+                # FUTURE other-side row, which can arrive anywhere at or
+                # above the OTHER side's max — so a row is superseded only
+                # by a same-side successor at/below max(wm, other_max)
+                cap = np.maximum(wm_us, max_side[1 - s_val])
+                p = p[ts[p] <= cap[code[p]]]
+            else:
+                # watermark mode: only rows at/below wm prove no earlier
+                # arrivals on either side
+                p = p[ts[p] <= wm_us]
             if len(p):
-                thresh[s_val][code[p]] = ts[p]  # last assignment = max ≤ wm
+                thresh[s_val][code[p]] = ts[p]  # last assignment = max ≤ cap
             m = side == s_val
             keep &= ~(m & (ts < thresh[s_val][code]) & decided)
+        if in_order:
+            # pin every lookup target of a still-undecided row: with the
+            # eager cap above wm, a decided neighbor could otherwise retire
+            # before the undecided row's own decision reads it (wm mode is
+            # immune — there cap == wm and undecided rows sit above it)
+            und = np.nonzero(~decided)[0]
+            if len(und):
+                for arr in (psame, nsame, prev_o, next_o):
+                    ref = arr[und]
+                    keep[ref[ref >= 0]] = True
         if not keep.all():
             buf = buf.loc[keep].reset_index(drop=True)
 
@@ -357,6 +399,7 @@ def streaming_nn_join(
     delta: float | None = None,
     n_buckets: int | None = None,
     state_ttl: float | None = None,
+    assume_in_order: bool = False,
 ) -> DataFrame:
     """Streaming closure join over a single merged stream.
 
@@ -372,6 +415,14 @@ def streaming_nn_join(
     series' last rows forever (the reference keeps its buffers forever
     too). Trade-off: a pair bridging a silence longer than the TTL is not
     emitted. Without it, state holds O(1) rows per ever-seen series.
+
+    ``assume_in_order``: adopt the reference's per-stream in-order arrival
+    contract (README:220-230) — decisions finalize on data arrival instead
+    of trailing the watermark by one trigger, and decided rows retire
+    against the per-side max. Cuts emission latency by one trigger and
+    shrinks state to the per-series tails; ONLY valid when each (series,
+    side)'s event times arrive non-decreasing (e.g. log replay, per-key
+    Kafka partitions). Default off = watermark-general semantics.
     """
     if isinstance(keys, str):
         keys = [keys]
@@ -474,7 +525,7 @@ def streaming_nn_join(
                 buf[c] = []
 
         buf, pend, out, wm_blocked = _decide(
-            buf, pend, wm_us, delta_us, keys_l, proj
+            buf, pend, wm_us, delta_us, keys_l, proj, in_order=assume_in_order
         )
         if ttl_us is not None and wm_us > 0:
             cut = wm_us - ttl_us

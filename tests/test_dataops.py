@@ -180,3 +180,22 @@ def test_connected_components_oracle(spark):
         for r in connected_components(verts, edges).collect()
     }
     assert got == {(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 5), (6, 6), (7, 6)}
+
+
+def test_connected_components_doubling_long_chain(spark, tmp_path):
+    """A 200-node path must converge within O(log d) rounds: max_iter=12
+    suffices only if the pointer-doubling step works (plain one-hop
+    propagation would need 199 rounds). Also exercises the reliable
+    checkpoint path."""
+    from statefulstreamprocessor_spark.operators.dedup import connected_components
+
+    n = 200
+    verts = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    got = connected_components(
+        verts, edges, max_iter=12, checkpoint_dir=str(tmp_path / "ck")
+    ).collect()
+    assert all(r["cluster_id"] == 0 for r in got)
+    assert len(got) == n

@@ -60,11 +60,13 @@ def _expected_closure(spark, pdf, delta=None):
     }
 
 
-def test_streaming_equals_batch_closure(spark, webtext_pdf, tmp_path):
+@pytest.mark.parametrize("in_order", [False, True], ids=["wm", "in_order"])
+def test_streaming_equals_batch_closure(spark, webtext_pdf, tmp_path, in_order):
     input_dir = _write_webtext_files(str(tmp_path), webtext_pdf, n_files=5)
     sink = run_webtext_pipeline(
         spark, input_dir, str(tmp_path / "out"), watermark="0 seconds",
         max_files_per_trigger=1, use_extractor=True,
+        assume_in_order=in_order,
     )
     got_df = sink.read(spark)
     got = {

@@ -47,6 +47,30 @@ def test_lang_id_heuristic():
     assert lang_id_py("zzz qqq xxx") == "und"
 
 
+def test_winnow_udf_matches_python_oracle(spark):
+    from statefulstreamprocessor_spark.functions.textops import (
+        winnow_fingerprints_udf,
+    )
+    from statefulstreamprocessor_spark.shipping import ensure_package_shipped
+    import pyspark.sql.functions as F
+
+    ensure_package_shipped(spark)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    got = {
+        r["doc_id"]: list(r["fp"])
+        for r in docs.select(
+            "doc_id", winnow_fingerprints_udf()(F.col("text")).alias("fp")
+        ).collect()
+    }
+    for r in docs.collect():
+        want = [
+            x - (1 << 64) if x >= (1 << 63) else x
+            for x in winnow_fingerprints(r["text"])
+        ]
+        assert got[r["doc_id"]] == want
+        assert len(want) > 0
+
+
 def test_winnow_fingerprints_properties():
     a = winnow_fingerprints("the quick brown fox jumps over the lazy dog")
     b = winnow_fingerprints("the quick brown fox jumps over the lazy dog")
