@@ -251,6 +251,36 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_vec_id", "neighbor_id", "sim", "rank")
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (training-data dedup op):
+    hyperplane-LSH sweep + exact rescore at cosine >= 0.95, verified
+    exhaustively against the all-pairs SQL oracle (zero LSH misses).
+
+    The synthetic embeddings table has no pairs above 0.60, so the query
+    plants deterministic near-dups: every 10th vector is re-inserted
+    (vec_id + 10^6) with its first component shifted by +0.2 — each copy
+    must pair with its source. The oracle performs the identical
+    augmentation in SQL, so the gate proves the LSH sweep recovers every
+    planted pair and invents none.
+    """
+    from statefulstreamprocessor_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    perturbed = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.2)).otherwise(x),
+        ).alias("embedding"),
+    )
+    aug = emb.unionByName(perturbed)
+    return cosine_near_dup_pairs(
+        aug, "vec_id", "embedding", dim=64, threshold=0.95
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language identification over documents."""
     docs = _load(spark, sf_dir, "documents")
@@ -288,6 +318,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-score features + md5 fingerprint over documents."""
     from statefulstreamprocessor_spark.functions.textops import (
+        bpe_token_count_col,
         fingerprint_md5,
         quality_score_cols,
     )
@@ -298,6 +329,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         q["n_chars"].alias("n_chars"),
         q["n_tokens"].alias("n_tokens"),
+        bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"),
         q["alpha_ratio"].alias("alpha_ratio"),
         q["punct_ratio"].alias("punct_ratio"),
         q["mean_token_len"].alias("mean_token_len"),
@@ -625,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "salted_agg": q_salted_agg,
@@ -968,6 +1001,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT q_vec_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
         """,
+        "embedding_near_dup": """
+            WITH e AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                -- planted near-dups (mirrors the Spark-side augmentation;
+                -- DuckDB lambda index is 1-based)
+                SELECT vec_id + 1000000,
+                       list_transform(embedding,
+                           (x, i) -> CASE WHEN i = 1 THEN x + 0.2 ELSE x END)
+                FROM embeddings WHERE vec_id % 10 = 0
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])
+                   ), 4) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])
+                  ), 4) >= 0.95
+        """,
         "lang_id": """
             WITH toks AS (
                 SELECT doc_id,
@@ -1004,6 +1059,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM base
             )
             SELECT f.doc_id, f.n_chars, f.n_tokens,
+                   len(regexp_extract_all(d.text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS n_bpe_tokens,
                    round(f.n_alpha / greatest(f.n_chars, 1), 6) AS alpha_ratio,
                    round(f.n_punct / greatest(f.n_chars, 1), 6) AS punct_ratio,
                    round(f.n_chars / greatest(f.n_tokens, 1), 6) AS mean_token_len,

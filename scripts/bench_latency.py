@@ -24,7 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
-def main(rows_per_sec: int = 5000, duration_sec: int = 40) -> None:
+def main(
+    rows_per_sec: int = 5000, duration_sec: int = 40, in_order: bool = False
+) -> None:
     from pyspark.sql import functions as F
 
     from statefulstreamprocessor_spark.session import get_spark
@@ -47,7 +49,12 @@ def main(rows_per_sec: int = 5000, duration_sec: int = 40) -> None:
         F.when(F.col("value") % 2 == 0, "r").otherwise("s").alias("side"),
         (F.col("value") % 1000).cast("double").alias("payload"),
     ).withWatermark("warc_ts", "1 second")
-    joined = streaming_nn_join(stream, ["url"], "warc_ts", "side", n_buckets=64)
+    # the rate source is monotone per url, so assume_in_order is valid here:
+    # decisions finalize on arrival instead of trailing the watermark batch
+    joined = streaming_nn_join(
+        stream, ["url"], "warc_ts", "side", n_buckets=64,
+        assume_in_order=in_order,
+    )
 
     lat_ms: list[float] = []
 
@@ -71,6 +78,7 @@ def main(rows_per_sec: int = 5000, duration_sec: int = 40) -> None:
     arr = np.array(lat_ms)
     out = {
         "metric": "event_time_to_emit_latency",
+        "mode": "in_order" if in_order else "watermark",
         "rows_per_sec": rows_per_sec,
         "duration_sec": duration_sec,
         "emitted_pairs": int(len(arr)),
@@ -85,4 +93,5 @@ if __name__ == "__main__":
     main(
         int(sys.argv[1]) if len(sys.argv) > 1 else 5000,
         int(sys.argv[2]) if len(sys.argv) > 2 else 40,
+        in_order="--in-order" in sys.argv,
     )

@@ -25,6 +25,7 @@ __all__ = [
     "extract_text",
     "html_to_text_udf",
     "token_count_col",
+    "bpe_token_count_col",
     "quality_score_cols",
     "lang_id_udf",
     "lang_id_py",
@@ -68,6 +69,18 @@ def token_count_col(text_col):
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
         F.size(F.split(t, r"\s+"))
     )
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count_col(text_col):
+    """BPE-ish subword-boundary token count as a pure column expression:
+    maximal runs of letters / digits / other-non-space. The alternation's
+    character classes are disjoint, so the count is identical under any
+    regex engine's matching semantics (Java regex here, RE2 in the DuckDB
+    oracle) — engine-portable by construction."""
+    return F.regexp_count(text_col, F.lit(BPE_ISH_PATTERN))
 
 
 def quality_score_cols(text_col):

@@ -19,7 +19,13 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_sim_col", "cosine_topk", "cosine_topk_lsh", "hyperplane_signature_col"]
+__all__ = [
+    "cosine_sim_col",
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "cosine_near_dup_pairs",
+    "hyperplane_signature_col",
+]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -132,6 +138,76 @@ def hyperplane_signature_col(vec: Column, planes: np.ndarray) -> Column:
     for b in bits[1:]:
         out = out + b
     return out.cast("long")
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 20,
+    seed: int = 77,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH sweep + exact rescore.
+
+    The embedding analogue of MinHash near-dup: corpus rows are bucketed by
+    ``n_tables`` independent random-hyperplane signatures (``n_planes``
+    bits); same-bucket candidates are exactly rescored with the fold-based
+    cosine and kept at ``round(sim, 4) >= threshold``. OR-amplification
+    sets the miss probability per qualifying pair at
+    ``(1 - p^n_planes)^n_tables`` with ``p = 1 - acos(sim)/pi`` — at the
+    defaults and sim 0.95 that is ~1.5e-5, and the driver gate proves zero
+    misses against the all-pairs SQL oracle on the test corpus.
+
+    One shuffle on (table, bucket); per-bucket pair fan-out is bounded by
+    ``max_bucket_size`` (deterministic smallest-id truncation, the same
+    explicit recall/cost knob as the MinHash path).
+    """
+    rng = np.random.Generator(np.random.PCG64(seed))
+    tables = [rng.standard_normal((n_planes, dim)) for _ in range(n_tables)]
+
+    sig = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    hyperplane_signature_col(F.col(vec_col), tables[t]).alias(
+                        "bucket"
+                    ),
+                )
+                for t in range(n_tables)
+            ]
+        )
+    )
+    c = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("b")).select(
+        "id", "v", F.col("b.tbl").alias("tbl"), F.col("b.bucket").alias("bucket")
+    )
+    grouped = c.groupBy("tbl", "bucket").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct(F.col("id"), F.col("v")))),
+            1,
+            max_bucket_size,
+        ).alias("ds")
+    ).filter(F.size("ds") >= 2)
+    pairs = (
+        grouped.select("ds", F.explode("ds").alias("a"))
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.round(cosine_sim_col(F.col("va"), F.col("vb")), 4)
+    return pairs.select("id_a", "id_b", sim.alias("sim")).filter(
+        F.col("sim") >= threshold
+    )
 
 
 def cosine_topk_lsh(

@@ -41,6 +41,7 @@ def rate_replay(
     table: DataFrame,
     rows_per_second: int,
     loop: bool = False,
+    index_col: str | None = None,
 ) -> DataFrame:
     """Replay a static table as a stream at a fixed rate.
 
@@ -48,14 +49,23 @@ def rate_replay(
     the table by row index; ``loop=True`` wraps around like the reference
     simulator's infinite loop (simulator.py:50-54). The join is a broadcast
     of nothing — the static side is shuffled once by index and reused.
+
+    ``index_col``: a pre-existing contiguous 0..n-1 row index (e.g. the
+    webtext table's ``fetch_seq``) — the scale path. Without it the index
+    is derived with a global row_number over a single-partition sort,
+    acceptable only for test-harness-sized replay tables.
     """
     n = table.count()
     from pyspark.sql import Window
 
-    indexed = table.withColumn(
-        "__idx",
-        F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1,
-    ).localCheckpoint()  # materialize: stream-side plans reject the id expr
+    if index_col is not None:
+        indexed = table.withColumn("__idx", F.col(index_col).cast("long"))
+    else:
+        indexed = table.withColumn(
+            "__idx",
+            F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
+            - 1,
+        ).localCheckpoint()  # materialize: stream-side plans reject the id expr
     rate = spark.readStream.format("rate-micro-batch").option(
         "rowsPerBatch", rows_per_second
     ).load()

@@ -87,24 +87,23 @@ class IdempotentBatchSink:
         batches = self.committed_batches()
         if not batches:
             raise FileNotFoundError(f"no committed epochs under {self.path}")
-        parts = []
-        for b in batches:
-            parts.append(
-                spark.read.parquet(os.path.join(self.data_dir, f"batch={b}"))
-                .withColumn("__epoch", F.lit(b))
-            )
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
+        # one partition-discovered scan — the epoch directories are named
+        # batch=<id>, so `batch` is a partition column and the committed-set
+        # filter is PARTITION PRUNING (uncommitted crash leftovers are never
+        # read). O(1) plan size regardless of epoch count, unlike a
+        # per-epoch union.
+        df = spark.read.parquet(self.data_dir).filter(
+            F.col("batch").isin([int(b) for b in batches])
+        )
         if self.merge_keys:
             # merge-on-read: latest committed epoch wins per key
-            w = Window.partitionBy(*self.merge_keys).orderBy(F.desc("__epoch"))
+            w = Window.partitionBy(*self.merge_keys).orderBy(F.desc("batch"))
             df = (
                 df.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
-        return df.drop("__epoch")
+        return df.drop("batch")
 
     def row_count(self, spark: SparkSession) -> int:
         try:

@@ -168,6 +168,41 @@ def test_hash_fraction_sample_consistent(spark, docs):
     assert 0.1 * n <= len(a) <= 0.5 * n
 
 
+def test_cosine_near_dup_matches_bruteforce(spark):
+    """LSH sweep + rescore == brute-force all-pairs at the threshold."""
+    from statefulstreamprocessor_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_sim_col,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dup = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    aug = emb.unionByName(dup)
+    got = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in cosine_near_dup_pairs(
+            aug, "vec_id", "embedding", dim=64, threshold=0.98
+        ).collect()
+    }
+    a = aug.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = aug.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine_sim_col(F.col("va"), F.col("vb")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.98)
+    )
+    want = {(r["id_a"], r["id_b"], r["sim"]) for r in brute.collect()}
+    assert got == want and len(want) > 0
+
+
 def test_connected_components_oracle(spark):
     from statefulstreamprocessor_spark.operators.dedup import connected_components
 
