@@ -247,7 +247,10 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    out = cosine_topk(queries_df, emb, "vec_id", "embedding", k=5)
+    out = cosine_topk(
+        queries_df, emb, "vec_id", "embedding", k=5,
+        min_input_partitions=spark.sparkContext.defaultParallelism,
+    )
     return out.select("q_vec_id", "neighbor_id", "sim", "rank")
 
 

@@ -32,11 +32,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
-# 16M rows: the ~3-4 s per-level query-machinery floor (listing, planning,
-# WAL/state commits, start/stop) drops below 4% of the local[4] leg, so the
-# recorded efficiency reflects the operator pipeline, not fixed overhead.
-# Generation is cached under /tmp after the first run.
-BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "16000000"))
+# 8M keeps the whole default bench under ~5 minutes. The ~3-4 s per-level
+# query-machinery floor (listing, planning, WAL/state commits, start/stop)
+# is ~7% of the local[4] leg at this size and bounds measured efficiency at
+# ~0.77-0.87 depending on the VM window (BENCH.md §5); larger inputs
+# amortize it further but the 1-core leg then exceeds the per-round budget.
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "8000000"))
 N_FILES = 64
 
 HEADLINE = [
@@ -336,6 +337,12 @@ def main() -> None:
     extra: dict = {}
 
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()  # warm
+    # spin up python workers (pandas/numpy imports) before timing: the
+    # first python-UDF stage otherwise charges ~2 s of interpreter startup
+    # to whichever query happens to run it first
+    spark.range(64_000).repartition(CPUS).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     for name in HEADLINE:
         fn = qs[name]

@@ -47,6 +47,38 @@ def test_lang_id_heuristic():
     assert lang_id_py("zzz qqq xxx") == "und"
 
 
+def test_bpe_token_count_edges(spark):
+    from statefulstreamprocessor_spark.functions.textops import (
+        bpe_token_count_col,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [
+        ("hello world", 2),
+        ("don't stop", 4),          # don + ' + t + stop
+        ("a1b2", 4),                # letter/digit boundaries split
+        ("  spaced   out  ", 2),
+        ("", 0),
+        ("42!!", 2),
+        ("é é", 2),                 # non-ASCII letters fall in [^A-Za-z0-9\s]+
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], ["t"])
+    got = [
+        r["n"] for r in df.select(bpe_token_count_col(F.col("t")).alias("n")).collect()
+    ]
+    assert got == [n for _, n in rows]
+    # DuckDB parity on the same strings (engine-portable pattern)
+    import duckdb
+
+    con = duckdb.connect()
+    for t, n in rows:
+        (dn,) = con.execute(
+            "select len(regexp_extract_all(?, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))",
+            [t],
+        ).fetchone()
+        assert dn == n, (t, dn, n)
+
+
 def test_winnow_udf_matches_python_oracle(spark):
     from statefulstreamprocessor_spark.functions.textops import (
         winnow_fingerprints_udf,
