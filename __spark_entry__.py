@@ -624,6 +624,75 @@ def q_nn_pair_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tumbling_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1 h aggregation in STREAMING mode (availableNow + 0 s
+    watermark + append output), pinned to the same DuckDB oracle as the
+    batch q_tumbling_hourly. Uses Spark's built-in windowed aggregation
+    state; a punctuation row (dummy event_type, max ts + 1 h) closes the
+    final window, and its own window is filtered out of the result."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    ev = _load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    pdf = ev.orderBy("ts").toPandas()
+    tmp = tempfile.mkdtemp(prefix="ssp_tumbling_gate_")
+    in_dir = os.path.join(tmp, "input")
+    os.makedirs(in_dir)
+    n_files = 3
+    step = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(
+            os.path.join(in_dir, f"part-{i:03d}.parquet"),
+            index=False,
+            coerce_timestamps="us",
+        )
+    flush = pdf.iloc[-1:].copy()
+    flush["event_type"] = "__punctuation__"
+    flush["ts"] = flush["ts"] + pd.Timedelta(hours=2)
+    flush.to_parquet(
+        os.path.join(in_dir, f"part-{n_files:03d}.parquet"),
+        index=False,
+        coerce_timestamps="us",
+    )
+    raw = (
+        spark.readStream.schema("event_type string, ts timestamp_ntz, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    agg = (
+        raw.select(
+            "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+        )
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    out_dir = os.path.join(tmp, "out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(tmp, "checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(out_dir)
+    return res.filter(F.col("event_type") != "__punctuation__").select(
+        _us(F.col("window.start").cast("timestamp_ntz")).alias("ws_us"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: closure pairwise time-series join on sf0.001."""
     return q_nn_pair_join(spark, "/root/testdata/sf0.001")
@@ -652,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nn_pair_join_banded": q_nn_pair_join_banded,
         "asof_backward": q_asof_backward,
         "tumbling_hourly": q_tumbling_hourly,
+        "tumbling_hourly_streaming": q_tumbling_hourly_streaming,
         "sliding_1h_15m": q_sliding_1h_15m,
         "session_30m": q_session_30m,
         "normalize_ts": q_normalize_ts,
@@ -871,6 +941,12 @@ def oracle_sql() -> dict[str, str]:
             FROM ann WHERE side = 1
         """,
         "tumbling_hourly": """
+            SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us, event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "tumbling_hourly_streaming": """
             SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us, event_type,
                    count(*) AS n,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -145,18 +145,12 @@ def nn_join(
     self_r = side_struct("__rp")
     self_s = side_struct("__sp")
 
+    # Two chained selects per sort direction: the rows-frame window sorts by
+    # the FULL total order and the range-frame window then only requires its
+    # (ts) prefix — Spark's sort-order satisfaction elides the extra sort,
+    # so the whole operator is one exchange + two sorts (asc + desc).
     ann = merged.select(
-        *keys,
-        "__ts",
-        "__side",
-        "__rp",
-        "__sp",
-        # nearest other-side rows, ts-inclusive; min/max of (t, [tb], p)
-        # structs = earliest/latest with a deterministic same-ts order
-        F.max(F.when(is_r, self_r)).over(w_before).alias("__prev_r"),
-        F.max(F.when(~is_r, self_s)).over(w_before).alias("__prev_s"),
-        F.min(F.when(is_r, self_r)).over(w_after).alias("__next_r"),
-        F.min(F.when(~is_r, self_s)).over(w_after).alias("__next_s"),
+        "*",
         # same-side strict neighbors (dedup predicates only need their ts)
         F.last(F.when(is_r, F.col("__ts")), ignorenulls=True)
         .over(w_rows_before)
@@ -164,6 +158,14 @@ def nn_join(
         F.last(F.when(~is_r, F.col("__ts")), ignorenulls=True)
         .over(w_rows_before)
         .alias("__psame_s_t"),
+    ).select(
+        "*",
+        # nearest other-side rows at-or-before, ts-inclusive (RANGE peers);
+        # max of (t, [tb], p) structs = latest with a deterministic order
+        F.max(F.when(is_r, self_r)).over(w_before).alias("__prev_r"),
+        F.max(F.when(~is_r, self_s)).over(w_before).alias("__prev_s"),
+    ).select(
+        "*",
         # strict same-side successor = last same-side row seen in the
         # REVERSED total order before the current row (running frame)
         F.last(F.when(is_r, F.col("__ts")), ignorenulls=True)
@@ -172,6 +174,10 @@ def nn_join(
         F.last(F.when(~is_r, F.col("__ts")), ignorenulls=True)
         .over(w_rows_after)
         .alias("__nsame_s_t"),
+    ).select(
+        "*",
+        F.min(F.when(is_r, self_r)).over(w_after).alias("__next_r"),
+        F.min(F.when(~is_r, self_s)).over(w_after).alias("__next_s"),
     )
 
     prev_other = F.when(is_r, F.col("__prev_s")).otherwise(F.col("__prev_r"))
@@ -381,20 +387,28 @@ def nn_join_banded(
     is_r = F.col("__side") == 0
     self_r = F.struct(F.col("__ts").alias("t"), F.col("__rp").alias("p"))
     self_s = F.struct(F.col("__ts").alias("t"), F.col("__sp").alias("p"))
+    # chained selects per sort direction — range windows ride the rows
+    # windows' sort via prefix satisfaction (see nn_join)
     ann = merged.select(
         *keys, "__ts", "__side", "__rp", "__sp", "__bucket", "__own_bucket",
-        F.max(F.when(is_r, self_r)).over(w_before).alias("__prev_r"),
-        F.max(F.when(~is_r, self_s)).over(w_before).alias("__prev_s"),
-        F.min(F.when(is_r, self_r)).over(w_after).alias("__next_r"),
-        F.min(F.when(~is_r, self_s)).over(w_after).alias("__next_s"),
         F.last(F.when(is_r, F.col("__ts")), ignorenulls=True)
         .over(w_rows_before).alias("__psame_r_t"),
         F.last(F.when(~is_r, F.col("__ts")), ignorenulls=True)
         .over(w_rows_before).alias("__psame_s_t"),
+    ).select(
+        "*",
+        F.max(F.when(is_r, self_r)).over(w_before).alias("__prev_r"),
+        F.max(F.when(~is_r, self_s)).over(w_before).alias("__prev_s"),
+    ).select(
+        "*",
         F.last(F.when(is_r, F.col("__ts")), ignorenulls=True)
         .over(w_rows_after).alias("__nsame_r_t"),
         F.last(F.when(~is_r, F.col("__ts")), ignorenulls=True)
         .over(w_rows_after).alias("__nsame_s_t"),
+    ).select(
+        "*",
+        F.min(F.when(is_r, self_r)).over(w_after).alias("__next_r"),
+        F.min(F.when(~is_r, self_s)).over(w_after).alias("__next_s"),
     ).join(F.broadcast(maxes), keys)
 
     prev_other = F.when(is_r, F.col("__prev_s")).otherwise(F.col("__prev_r"))

@@ -50,6 +50,10 @@ def test_nn_join_plan_shape(spark, events):
     assert re.search(r"Arguments: hashpartitioning\(user_id", plan)
     # no O(n²) window frames (unbounded-following)
     assert "unboundedfollowing" not in plan.lower()
+    # two sorts only (asc + desc families): the range windows must ride the
+    # rows windows' sort via prefix satisfaction, not re-sort
+    sorts = re.findall(r"^\(\d+\) Sort", plan, re.M)
+    assert len(sorts) == 2, plan
 
 
 def test_asof_plan_no_join_node(spark, events):

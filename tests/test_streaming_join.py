@@ -96,19 +96,26 @@ def test_streaming_exactly_once_rerun(spark, webtext_pdf, tmp_path):
     assert sink2.row_count(spark) == n1
 
 
-def test_streaming_resume_after_partial_input(spark, webtext_pdf, tmp_path):
+@pytest.mark.parametrize("in_order", [False, True], ids=["wm", "in_order"])
+def test_streaming_resume_after_partial_input(spark, webtext_pdf, tmp_path, in_order):
     """Kill-and-resume: process half the files, then the rest from the same
-    checkpoint; union must equal the full closure with no dupes/gaps."""
+    checkpoint; union must equal the full closure with no dupes/gaps —
+    including in the eager in-order mode, whose decision flags and
+    retirement caps live in the resumed state."""
     input_dir = os.path.join(str(tmp_path), "input")
     os.makedirs(input_dir)
     chunks = _time_chunks(webtext_pdf, 4)
     for i in (0, 1):
         chunks[i].to_parquet(os.path.join(input_dir, f"part-{i:03d}.parquet"))
     out_dir = str(tmp_path / "out")
-    run_webtext_pipeline(spark, input_dir, out_dir, use_extractor=False)
+    run_webtext_pipeline(
+        spark, input_dir, out_dir, use_extractor=False, assume_in_order=in_order
+    )
     for i in (2, 3):
         chunks[i].to_parquet(os.path.join(input_dir, f"part-{i:03d}.parquet"))
-    sink = run_webtext_pipeline(spark, input_dir, out_dir, use_extractor=False)
+    sink = run_webtext_pipeline(
+        spark, input_dir, out_dir, use_extractor=False, assume_in_order=in_order
+    )
     got_rows = sink.read(spark).collect()
     got = [(r["url"], r["r_warc_ts"], r["s_warc_ts"]) for r in got_rows]
     assert len(got) == len(set(got)), "duplicate pairs after resume"
