@@ -693,6 +693,67 @@ def q_tumbling_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_30m_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap, per user) in STREAMING mode — Spark's
+    session_window state merged incrementally across availableNow
+    micro-batches, pinned to the batch q_session_30m oracle. A punctuation
+    row for an unused user closes every real session at end-of-stream."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    ev = _load(spark, sf_dir, "events").select("user_id", "ts")
+    pdf = ev.orderBy("ts").toPandas()
+    tmp = tempfile.mkdtemp(prefix="ssp_session_gate_")
+    in_dir = os.path.join(tmp, "input")
+    os.makedirs(in_dir)
+    n_files = 3
+    step = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(
+            os.path.join(in_dir, f"part-{i:03d}.parquet"),
+            index=False,
+            coerce_timestamps="us",
+        )
+    flush = pdf.iloc[-1:].copy()
+    flush["user_id"] = -1
+    flush["ts"] = flush["ts"] + pd.Timedelta(hours=2)
+    flush.to_parquet(
+        os.path.join(in_dir, f"part-{n_files:03d}.parquet"),
+        index=False,
+        coerce_timestamps="us",
+    )
+    raw = (
+        spark.readStream.schema("user_id bigint, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    agg = (
+        raw.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out_dir = os.path.join(tmp, "out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(tmp, "checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(out_dir)
+    return res.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        _us(F.col("session_window.start").cast("timestamp_ntz")).alias("ss_us"),
+        _us(F.col("session_window.end").cast("timestamp_ntz")).alias("se_us"),
+        "n",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: closure pairwise time-series join on sf0.001."""
     return q_nn_pair_join(spark, "/root/testdata/sf0.001")
@@ -724,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_hourly_streaming": q_tumbling_hourly_streaming,
         "sliding_1h_15m": q_sliding_1h_15m,
         "session_30m": q_session_30m,
+        "session_30m_streaming": q_session_30m_streaming,
         "normalize_ts": q_normalize_ts,
         "unpivot_lineitem": q_unpivot_lineitem,
         "series_key_route": q_series_key_route,
@@ -960,6 +1022,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "session_30m": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                              > INTERVAL 30 MINUTES
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ), sess AS (
+                SELECT user_id, ts,
+                    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM marked
+            )
+            SELECT user_id, epoch_us(min(ts)) AS ss_us,
+                   epoch_us(max(ts) + INTERVAL 30 MINUTES) AS se_us,
+                   count(*) AS n
+            FROM sess GROUP BY user_id, sid
+        """,
+        "session_30m_streaming": """
             WITH marked AS (
                 SELECT user_id, ts,
                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
