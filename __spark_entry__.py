@@ -5,8 +5,9 @@
 ``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query.
 
 Column names and types are aligned between the Spark queries and the DuckDB
-oracles (timestamps compared as epoch-microsecond BIGINTs, money-like sums
-as DECIMAL) so the driver's order-insensitive value-hash comparison is
+oracles (timestamps compared as epoch-microsecond BIGINTs; money-like sums
+computed in exact DECIMAL and emitted as DOUBLE; only scalar hashable
+columns) so the driver's order-insensitive value-hash comparison is
 byte-stable.
 """
 
@@ -117,6 +118,28 @@ def q_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
         _us("ts").alias("ts_us"),
         "event_id",
         "value",
+        _us("right_ts").alias("click_ts_us"),
+        F.col("right_event_id").alias("click_event_id"),
+    )
+
+
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase enriched with the earliest click
+    at-or-after it (inclusive at equal timestamps — ADVICE round-1 fix)."""
+    from statefulstreamprocessor_spark.operators.asof import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(left, right, "user_id", "ts", direction="forward")
+    return out.select(
+        "user_id",
+        _us("ts").alias("ts_us"),
+        "event_id",
         _us("right_ts").alias("click_ts_us"),
         F.col("right_event_id").alias("click_event_id"),
     )
@@ -781,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nn_pair_join_delta": q_nn_pair_join_delta,
         "nn_pair_join_banded": q_nn_pair_join_banded,
         "asof_backward": q_asof_backward,
+        "asof_forward": q_asof_forward,
         "tumbling_hourly": q_tumbling_hourly,
         "tumbling_hourly_streaming": q_tumbling_hourly_streaming,
         "sliding_1h_15m": q_sliding_1h_15m,
@@ -1000,6 +1024,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, epoch_us(ts) AS ts_us, l_event_id AS event_id,
                    l_value AS value, epoch_us(c_ts) AS click_ts_us,
                    c_id AS click_event_id
+            FROM ann WHERE side = 1
+        """,
+        "asof_forward": """
+            WITH merged AS (
+                SELECT user_id, ts, 0 AS side, event_id,
+                       NULL::BIGINT AS l_event_id
+                FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT user_id, ts, 1, NULL::BIGINT, event_id
+                FROM events WHERE event_type = 'purchase'
+            ), ann AS (
+                -- desc traversal with the right row FIRST at equal ts
+                -- (side ASC): right.ts >= left.ts is inclusive
+                SELECT user_id, ts, side, l_event_id,
+                    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+                        OVER w AS c_ts,
+                    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+                        OVER w AS c_id
+                FROM merged
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, side ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            )
+            SELECT user_id, epoch_us(ts) AS ts_us, l_event_id AS event_id,
+                   epoch_us(c_ts) AS click_ts_us, c_id AS click_event_id
             FROM ann WHERE side = 1
         """,
         "tumbling_hourly": """
