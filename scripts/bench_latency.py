@@ -50,9 +50,12 @@ def main(
         (F.col("value") % 1000).cast("double").alias("payload"),
     ).withWatermark("warc_ts", "1 second")
     # the rate source is monotone per url, so assume_in_order is valid here:
-    # decisions finalize on arrival instead of trailing the watermark batch
+    # decisions finalize on arrival instead of trailing the watermark batch.
+    # n_buckets sizes to the BATCH, not the core count: at low rates each
+    # extra state group adds a per-trigger Arrow + state-store round trip
+    # (64 buckets measured p95 6.5 s vs 8 buckets 2.1 s at 2000 rows/s)
     joined = streaming_nn_join(
-        stream, ["url"], "warc_ts", "side", n_buckets=64,
+        stream, ["url"], "warc_ts", "side", n_buckets=8,
         assume_in_order=in_order,
     )
 

@@ -425,7 +425,11 @@ def streaming_nn_join(
     ``ts_col`` (TimestampType), a ``side_col`` with values 'r'/'s', and any
     payload columns. Output: keys + r_/s_-prefixed ts and payload columns,
     append mode, exactly-once per pair. ``n_buckets`` controls state-group
-    fan-out (default 8 × defaultParallelism).
+    fan-out (default 8 × defaultParallelism). Size it to the per-trigger
+    BATCH, not just cores: every group costs one Arrow + state-store round
+    trip per trigger, so low-rate latency-sensitive queries want few
+    buckets (8 buckets measured p95 2.1 s vs 64 buckets 6.5 s at
+    2000 rows/s) while bulk replay wants many (amortized per-batch).
 
     ``state_ttl`` (seconds, event time): optional garbage collection for
     unbounded key churn — rows and pending pairs older than
