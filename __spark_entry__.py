@@ -647,6 +647,27 @@ def q_nn_pair_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (video-pipeline shape): fixed
+    32-byte frames, every 4th kept, emitted as (doc_id, frame_idx,
+    md5(frame)). The payload is the UTF-8 text (ASCII), so the DuckDB
+    oracle reproduces each frame as a substring and md5s it."""
+    from statefulstreamprocessor_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+    from statefulstreamprocessor_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs = _load(spark, sf_dir, "documents")
+    frames = sample_frames(
+        attach_binary_payload(docs, "text", "doc_id"), frame_bytes=32, every_k=4
+    )
+    return frames.select(
+        "doc_id", "frame_idx", F.md5("frame").alias("frame_md5")
+    )
+
+
 def q_tumbling_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1 h aggregation in STREAMING mode (availableNow + 0 s
     watermark + append output), pinned to the same DuckDB oracle as the
@@ -828,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
     }
     return {k: _shipped(v) for k, v in qs.items()}
 
@@ -1345,6 +1367,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             )
             SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+        """,
+        "multimodal_frames": """
+            SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                   md5(substring(text, CAST(i * 32 + 1 AS INT), 32)) AS frame_md5
+            FROM (
+                SELECT doc_id, text,
+                       unnest(range(0, length(text) // 32, 4)) AS i
+                FROM documents
+            )
         """,
         "multimodal_features": """
             WITH b AS (

@@ -25,7 +25,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["attach_binary_payload", "decode_metadata", "extract_binary_features"]
+__all__ = [
+    "attach_binary_payload",
+    "decode_metadata",
+    "extract_binary_features",
+    "resize_payload",
+    "sample_frames",
+]
 
 FEATURE_SCHEMA = (
     "doc_id bigint, n_bytes int, width int, height int, "
@@ -108,3 +114,77 @@ def extract_binary_features(
             )
 
     return df.select(id_col, "payload").mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def resize_payload(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    decode_stub: str = "deterministic",
+) -> DataFrame:
+    """Resize stage: decode → (w, h) byte matrix → nearest-neighbor resample
+    to (target_w, target_h) → re-encode. The decode is the deterministic
+    stub (see module doc); the resample itself is real vectorized numpy —
+    identical to what a production pipeline runs after a real codec decode.
+    Output: (id, payload binary of target_w·target_h bytes, meta struct).
+    """
+    if decode_stub == "library":
+        raise NotImplementedError(
+            "real image decoding needs an optional codec dependency "
+            "(e.g. pillow / pyav) not present in this environment"
+        )
+    schema = f"{id_col} bigint, payload binary, width int, height int"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                w, h = decode_metadata(payload)
+                b = np.frombuffer(payload or b"", dtype=np.uint8)
+                if w == 0 or h == 0 or len(b) == 0:
+                    rows.append((doc_id, b"", target_w, target_h))
+                    continue
+                # deterministic fake raster: tile/truncate bytes to (h, w)
+                img = np.resize(b, (h, w))
+                yi = (np.arange(target_h) * h // target_h)
+                xi = (np.arange(target_w) * w // target_w)
+                out = img[yi][:, xi]  # nearest-neighbor resample
+                rows.append(
+                    (doc_id, out.tobytes(), target_w, target_h)
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "payload", "width", "height"]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(resize, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int,
+    every_k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling: treat the payload as a sequence of fixed-size frames
+    and keep every k-th one — one output row per sampled frame with its
+    index (the video-pipeline shape; a real decoder swaps in for the
+    fixed-size splitter). Pure vectorized numpy reshaping per batch."""
+    schema = f"{id_col} bigint, frame_idx int, frame binary"
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                b = np.frombuffer(payload or b"", dtype=np.uint8)
+                n_frames = len(b) // frame_bytes
+                if n_frames == 0:
+                    continue
+                frames = b[: n_frames * frame_bytes].reshape(
+                    n_frames, frame_bytes
+                )
+                for idx in range(0, n_frames, every_k):
+                    rows.append((doc_id, idx, frames[idx].tobytes()))
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame"])
+
+    return df.select(id_col, "payload").mapInPandas(sample, schema)

@@ -127,6 +127,38 @@ def test_multimodal_features_match_oracle(spark, docs, docs_pd):
         assert list(g["hist"]) == np.bincount(b >> 5, minlength=8).tolist()
 
 
+def test_multimodal_resize_and_frames(spark, docs, docs_pd):
+    from statefulstreamprocessor_spark.operators.multimodal import (
+        resize_payload,
+        sample_frames,
+    )
+
+    payloads = attach_binary_payload(docs, "text", "doc_id")
+    # resize: every row lands at exactly target_w*target_h bytes, values
+    # match the numpy nearest-neighbor oracle
+    out = {r["doc_id"]: r for r in resize_payload(payloads, 8, 6).collect()}
+    for _, row in docs_pd.head(5).iterrows():
+        b = np.frombuffer(row.text.encode(), dtype=np.uint8)
+        w, h = decode_metadata(row.text.encode())
+        img = np.resize(b, (h, w))
+        want = img[(np.arange(6) * h // 6)][:, (np.arange(8) * w // 8)]
+        got = out[row.doc_id]
+        assert (got["width"], got["height"]) == (8, 6)
+        assert bytes(got["payload"]) == want.tobytes()
+    # frame sampling: every 4th 32-byte frame, contents exact
+    frames = sample_frames(payloads, frame_bytes=32, every_k=4)
+    got_f = {}
+    for r in frames.collect():
+        got_f.setdefault(r["doc_id"], {})[r["frame_idx"]] = bytes(r["frame"])
+    for _, row in docs_pd.head(5).iterrows():
+        raw = row.text.encode()
+        n_frames = len(raw) // 32
+        want_idx = list(range(0, n_frames, 4))
+        assert sorted(got_f[row.doc_id]) == want_idx
+        for i in want_idx:
+            assert got_f[row.doc_id][i] == raw[i * 32 : (i + 1) * 32]
+
+
 def test_multimodal_library_stub_raises(spark, docs):
     with pytest.raises(NotImplementedError):
         extract_binary_features(
