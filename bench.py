@@ -343,6 +343,11 @@ def main() -> None:
     spark.range(64_000).repartition(CPUS).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # steady-state warmup: run every headline query once at sf0.001 so the
+    # timed pass measures the operators, not first-use codegen/JIT/planner
+    # costs (which land on whichever query runs first otherwise)
+    for name in HEADLINE:
+        qs[name](spark, "/root/testdata/sf0.001").count()
 
     for name in HEADLINE:
         fn = qs[name]
