@@ -146,7 +146,12 @@ def cosine_topk(
 
 
 def hyperplane_signature_col(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-pattern LSH signature: bit i = (vec · plane_i) >= 0."""
+    """Sign-pattern LSH signature: bit i = (vec · plane_i) >= 0.
+
+    Pure-Catalyst reference form (useful where Python workers are
+    unavailable); the hot paths use :func:`_matmul_signatures_udf` instead —
+    the per-plane higher-order folds here run interpreted
+    (CodegenFallback), ~100× slower at many hyperplanes."""
     bits = [
         F.when(
             F.aggregate(
@@ -167,6 +172,30 @@ def hyperplane_signature_col(vec: Column, planes: np.ndarray) -> Column:
     for b in bits[1:]:
         out = out + b
     return out.cast("long")
+
+
+def _matmul_signatures_udf(n_planes: int, n_tables: int, dim: int, seed: int):
+    """All n_tables × n_planes random hyperplanes as ONE (dim, tables·planes)
+    matrix: per-row LSH signatures become a single vectorized numpy matmul
+    in an Arrow-batched pandas UDF returning array<long> of bucket values.
+    (The pure-Catalyst fold form — hyperplane_signature_col — evaluates
+    every hyperplane as an interpreted higher-order fold per row: measured
+    ~15 s serial on 5.5k×64 at 160 hyperplanes vs milliseconds here.)"""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    tables = [rng.standard_normal((n_planes, dim)) for _ in range(n_tables)]
+    planes_all = np.concatenate(tables, axis=0).T.astype(np.float64)
+    pows = 1 << np.arange(n_planes, dtype=np.int64)
+
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def signatures(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype(np.float64)
+        bits = (v @ planes_all) >= 0  # (rows, n_tables*n_planes)
+        buckets = bits.reshape(len(v), n_tables, n_planes) @ pows
+        return pd.Series(list(buckets))
+
+    return signatures
 
 
 def cosine_near_dup_pairs(
@@ -195,26 +224,7 @@ def cosine_near_dup_pairs(
     ``max_bucket_size`` (deterministic smallest-id truncation, the same
     explicit recall/cost knob as the MinHash path).
     """
-    rng = np.random.Generator(np.random.PCG64(seed))
-    tables = [rng.standard_normal((n_planes, dim)) for _ in range(n_tables)]
-    # all n_tables × n_planes hyperplanes as ONE (dim, n_tables·n_planes)
-    # matrix: the per-row signatures become a single vectorized numpy
-    # matmul in an Arrow-batched pandas UDF. (The pure-Catalyst fold form
-    # — hyperplane_signature_col — evaluates n_tables·n_planes interpreted
-    # higher-order folds per row: measured ~15 s serial on 5.5k×64 at 160
-    # hyperplanes vs milliseconds for the matmul.)
-    planes_all = np.concatenate(tables, axis=0).T.astype(np.float64)
-    pows = (1 << np.arange(n_planes, dtype=np.int64))
-
-    from pyspark.sql.types import ArrayType, LongType
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def signatures(vecs: pd.Series) -> pd.Series:
-        v = np.stack(vecs.to_numpy()).astype(np.float64)
-        bits = (v @ planes_all) >= 0  # (rows, n_tables*n_planes)
-        buckets = bits.reshape(len(v), n_tables, n_planes) @ pows
-        return pd.Series(list(buckets))
-
+    signatures = _matmul_signatures_udf(n_planes, n_tables, dim, seed)
     # candidate pairs carry IDS ONLY through the bucket explode and the
     # dedup exchange (16 bytes/row — shuffling the vectors alongside was
     # measured ~30× heavier); the vectors + precomputed norms join back in
@@ -275,48 +285,33 @@ def cosine_topk_lsh(
 
     OR-amplification across ``n_tables`` independent hash tables of
     ``n_planes`` bits each: a corpus row is a candidate if it shares a
-    bucket with the query in ANY table; candidates are exactly rescored.
-    Recall rises with n_tables, candidate-set size with n_tables and
-    falls with n_planes — both knobs explicit, per-query cost observable
-    as the candidate count."""
-    rng = np.random.Generator(np.random.PCG64(seed))
-    tables = [rng.standard_normal((n_planes, dim)) for _ in range(n_tables)]
-
-    def sigs() -> Column:
-        # one (table, bucket) struct per table, exploded
-        return F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        hyperplane_signature_col(F.col(vec_col), tables[t]).alias(
-                            "bucket"
-                        ),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        )
+    bucket with the query in ANY table; candidates are exactly rescored
+    (codegen'd unrolled cosine). Recall rises with n_tables,
+    candidate-set size with n_tables and falls with n_planes — both knobs
+    explicit, per-query cost observable as the candidate count.
+    Signatures are one vectorized matmul per Arrow batch."""
+    signatures = _matmul_signatures_udf(n_planes, n_tables, dim, seed)
 
     c = corpus.select(
-        id_col, F.col(vec_col).alias("__cv"), sigs().alias("__b")
-    ).select(id_col, "__cv", F.col("__b.tbl").alias("tbl"), F.col("__b.bucket").alias("bucket"))
+        id_col,
+        F.col(vec_col).alias("__cv"),
+        signatures(F.col(vec_col)).alias("__sigs"),
+    ).select(id_col, "__cv", F.posexplode("__sigs").alias("tbl", "bucket"))
     q = queries.select(
         F.col(id_col).alias(f"{query_prefix}{id_col}"),
         F.col(vec_col).alias("__qv"),
-        sigs().alias("__b"),
+        signatures(F.col(vec_col)).alias("__sigs"),
     ).select(
         f"{query_prefix}{id_col}",
         "__qv",
-        F.col("__b.tbl").alias("tbl"),
-        F.col("__b.bucket").alias("bucket"),
+        F.posexplode("__sigs").alias("tbl", "bucket"),
     )
     joined = c.join(F.broadcast(q), ["tbl", "bucket"]).filter(
         F.col(id_col) != F.col(f"{query_prefix}{id_col}")
     )
     # rank on the rounded sim (ascending-id tiebreak) — same total order
-    # as cosine_topk and the SQL oracle
-    sim = F.round(cosine_sim_col(F.col("__qv"), F.col("__cv")), 4)
+    # as cosine_topk and the SQL oracle; unrolled dot stays in codegen
+    sim = F.round(cosine_sim_fixed_col(F.col("__qv"), F.col("__cv"), dim), 4)
     w = Window.partitionBy(f"{query_prefix}{id_col}").orderBy(
         F.desc("sim"), F.asc(id_col)
     )
