@@ -201,9 +201,25 @@ def simhash_udf(k: int = 3):
 
 
 def simhash_candidates(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, chunks: int = 4
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    chunks: int = 4,
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
-    """Hamming-≤(chunks-1) candidates by pigeonhole chunk equality."""
+    """Hamming-≤(chunks-1) candidates by pigeonhole chunk equality.
+
+    Physical shape mirrors :func:`minhash_lsh_candidates`: ONE hash exchange
+    on (chunk, val), per-bucket collect of (id, h) structs sorted and
+    deterministically truncated to the ``max_bucket_size`` smallest ids,
+    then a bounded ordered-pair explode. A (chunk, val) self-join (the
+    previous formulation) pairs every document sharing a 16-bit chunk value
+    — a degenerate corpus region (boilerplate/empty texts → identical
+    signatures) makes that a d²/2 hot key. The truncation is an explicit
+    recall/cost knob, observable (not silent) via the
+    ``simhash_capped_buckets`` ``observe()`` metric.
+    """
     sh = simhash_udf(k)
     with_h = df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("h"))
     width = 64 // chunks
@@ -225,15 +241,24 @@ def simhash_candidates(
             )
         ).alias("cc"),
     ).select("id", "h", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
-    a = chunked.alias("a")
-    b = chunked.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.id") < F.col("b.id")),
+    grouped = (
+        chunked.groupBy("chunk", "val")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "h"))).alias("ds"))
+        .observe(
+            f"simhash_cap_{chunks}_{max_bucket_size}",
+            F.count(F.when(F.size("ds") > max_bucket_size, 1)).alias(
+                "simhash_capped_buckets"
+            ),
         )
+        .withColumn("ds", F.slice("ds", 1, max_bucket_size))
+        .filter(F.size("ds") >= 2)
+    )
+    # ordered pairs within the bucket's (bounded) doc list — two chained
+    # plain-column explodes (codegen'd; see ngram_jaccard_pairs)
+    pairs = (
+        grouped.select("ds", F.explode("ds").alias("a"))
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -369,6 +394,11 @@ def ngram_jaccard_pairs(
     splits leave None; for few-row-group local inputs set it to the core
     count (one small extra exchange of the raw text).
     """
+    # NULL text yields NULL grams (split(NULL) is NULL): in the max_df
+    # branch those docs would share a gram-IS-NULL bucket with
+    # n_grams = size(NULL) = -1 and survive only by the Jaccard going
+    # negative — exclude them explicitly instead (ADVICE round-2 fix)
+    df = df.filter(F.col(text_col).isNotNull())
     if min_input_partitions is not None:
         df = df.repartition(min_input_partitions)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
@@ -381,9 +411,10 @@ def ngram_jaccard_pairs(
     # explode_outer, NOT explode: explode makes the optimizer infer a
     # size(grams) > 0 filter and push it below the repartition exchange,
     # re-evaluating the whole (interpreted) gram expression serially on
-    # the scan task — measured 3.5 s of single-task CPU at sf0.1. The gram
-    # array is never empty (sequence yields >= 1 window), so the null row
-    # of explode_outer cannot occur.
+    # the scan task — measured 3.5 s of single-task CPU at sf0.1. With NULL
+    # text filtered above, the gram array is non-null and never empty
+    # (sequence yields >= 1 window), so the null row of explode_outer
+    # cannot occur.
     g = df.select(F.col(id_col).alias("id"), grams.alias("grams")).select(
         "id",
         F.size("grams").alias("n_grams"),

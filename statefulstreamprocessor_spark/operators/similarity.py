@@ -190,6 +190,8 @@ def _matmul_signatures_udf(n_planes: int, n_tables: int, dim: int, seed: int):
 
     @F.pandas_udf(ArrayType(LongType()))
     def signatures(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # Arrow may deliver a zero-row batch; np.stack
+            return pd.Series([], dtype=object)  # raises on an empty series
         v = np.stack(vecs.to_numpy()).astype(np.float64)
         bits = (v @ planes_all) >= 0  # (rows, n_tables*n_planes)
         buckets = bits.reshape(len(v), n_tables, n_planes) @ pows
@@ -208,6 +210,7 @@ def cosine_near_dup_pairs(
     n_tables: int = 24,
     seed: int = 77,
     max_bucket_size: int = 1024,
+    broadcast_vectors: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH sweep + exact rescore.
 
@@ -223,14 +226,22 @@ def cosine_near_dup_pairs(
     One shuffle on (table, bucket); per-bucket pair fan-out is bounded by
     ``max_bucket_size`` (deterministic smallest-id truncation, the same
     explicit recall/cost knob as the MinHash path).
+
+    ``broadcast_vectors``: the rescore joins the candidate id pairs back to
+    the corpus vectors twice. The default (False) uses plain equi-joins on
+    id — two shuffles of the (small) id-pair set plus the corpus's own,
+    the only plan that survives a 10⁹-row corpus (a forced broadcast of
+    the full vector table is a driver/executor OOM, not just a slow plan).
+    Set True only when the corpus is known-small (e.g. a filtered shard):
+    it pins a broadcast hint and removes both shuffles. With AQE on, the
+    default still *becomes* a broadcast join at runtime when the corpus
+    measures under the broadcast threshold — small inputs lose nothing.
     """
     signatures = _matmul_signatures_udf(n_planes, n_tables, dim, seed)
     # candidate pairs carry IDS ONLY through the bucket explode and the
     # dedup exchange (16 bytes/row — shuffling the vectors alongside was
     # measured ~30× heavier); the vectors + precomputed norms join back in
-    # afterwards for the rescore. Here the vector table is broadcast; at
-    # corpus scale the same plan becomes two hash joins on id — still only
-    # one exchange of the (small) id-pair set plus the corpus's own.
+    # afterwards for the rescore (broadcast only on request, see above).
     c = df.select(
         F.col(id_col).alias("id"), signatures(F.col(vec_col)).alias("sigs")
     ).select("id", F.posexplode("sigs").alias("tbl", "bucket"))
@@ -251,12 +262,14 @@ def cosine_near_dup_pairs(
         F.col(vec_col).alias("v"),
         F.sqrt(dot_fixed_col(F.col(vec_col), F.col(vec_col), dim)).alias("n"),
     )
-    va = F.broadcast(vecs.select(
+    va = vecs.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
-    ))
-    vb = F.broadcast(vecs.select(
+    )
+    vb = vecs.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
-    ))
+    )
+    if broadcast_vectors:
+        va, vb = F.broadcast(va), F.broadcast(vb)
     scored = pairs.join(va, "id_a").join(vb, "id_b")
     # codegen'd unrolled rescore (the fold form runs interpreted)
     sim = F.round(
