@@ -35,12 +35,52 @@ _META = "_table_metadata.json"
 
 class TableHandle:
     def __init__(self, spark: SparkSession, path: str, schema_ddl: str,
-                 partition_by: list[str]):
+                 partition_by: list[str], version: int = 0,
+                 data_name: str = "data"):
         self.spark = spark
         self.path = path
         self.schema_ddl = schema_ddl
         self.partition_by = partition_by
-        self.data_dir = os.path.join(path, "data")
+        self._version = version
+        self._data_name = data_name
+
+    @property
+    def data_dir(self) -> str:
+        return os.path.join(self.path, self._data_name)
+
+    # ------------------------------------------------------------- commit
+    def _commit_swap(self, staged_data: str) -> None:
+        """Atomically replace the table's data with ``staged_data``.
+
+        Iceberg-style versioned commit: the new file set moves to a fresh
+        ``data-<version>`` directory, then ONE ``os.replace`` of the
+        metadata file makes it current. A crash at any point leaves the
+        metadata referencing a complete directory (old or new, never a
+        mix, never missing); superseded/orphaned version dirs are garbage,
+        swept on the next successful commit. Single-maintainer semantics
+        (like Iceberg's maintenance actions, which take a table lock).
+        """
+        new_version = self._version + 1
+        new_name = f"data-{new_version:05d}"
+        os.replace(staged_data, os.path.join(self.path, new_name))
+        meta = {
+            "schema": self.schema_ddl,
+            "partition_by": self.partition_by,
+            "version": new_version,
+            "data_dir": new_name,
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.path)
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.path, _META))  # atomic commit point
+        self._version, self._data_name = new_version, new_name
+        # sweep superseded versions + crashed staging leftovers (best-effort)
+        for entry in os.listdir(self.path):
+            full = os.path.join(self.path, entry)
+            if entry == new_name or not os.path.isdir(full):
+                continue
+            if entry == "data" or entry.startswith(("data-", "rewrite_", "compact_")):
+                shutil.rmtree(full, ignore_errors=True)
 
     # ------------------------------------------------------------- write
     def append(self, df: DataFrame) -> None:
@@ -73,32 +113,46 @@ class TableHandle:
     def rewrite_data_files(self, target_files_per_partition: int = 1) -> int:
         """Bin-pack small files (Iceberg ``rewrite_data_files`` action).
 
-        Rewrites every partition to ``target_files_per_partition`` files and
-        commits with an atomic directory swap — readers see either the old
-        or the new file set, never a mix. Returns the new data-file count.
+        Rewrites every partition to AT MOST ``target_files_per_partition``
+        files (a deterministic row-content salt spreads each partition's
+        rows over up to that many write tasks; hash collisions can merge
+        some, never split) and commits via :meth:`_commit_swap` — readers
+        see either the old or the new file set, never a mix or a missing
+        directory. Returns the new data-file count.
         """
         df = self.read()
         staged = tempfile.mkdtemp(prefix="rewrite_", dir=self.path)
-        w = df.coalesce(target_files_per_partition).write.mode("overwrite")
         if self.partition_by:
-            # repartition by the spec so each partition lands in
-            # target_files_per_partition files
+            # partition cols alone would hash each partition VALUE to one
+            # task → exactly 1 file regardless of the target (ADVICE
+            # round-2); a deterministic row-content salt fans each
+            # partition out to ≤ target tasks. The shuffle-partition count
+            # is explicit (AQE would coalesce an un-numbered repartition
+            # on small inputs and merge the salts back together) and
+            # over-provisioned 8× so (dir, salt) hash collisions — which
+            # merge files, never split — stay rare.
+            salt = F.pmod(
+                F.xxhash64(F.struct(*[F.col(c) for c in df.columns])),
+                F.lit(target_files_per_partition),
+            )
+            n_dirs = df.select(*self.partition_by).distinct().count()
+            num = max(
+                int(n_dirs) * target_files_per_partition * 8,
+                self.spark.sparkContext.defaultParallelism,
+            )
             w = (
-                df.repartition(target_files_per_partition,
-                               *[F.col(c) for c in self.partition_by])
+                df.repartition(num, *[F.col(c) for c in self.partition_by], salt)
                 .write.mode("overwrite").partitionBy(*self.partition_by)
             )
+        else:
+            w = df.coalesce(target_files_per_partition).write.mode("overwrite")
         w.parquet(os.path.join(staged, "data"))
-        old = self.data_dir + ".old"
-        os.replace(self.data_dir, old)
-        os.replace(os.path.join(staged, "data"), self.data_dir)
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(staged, ignore_errors=True)
+        self._commit_swap(os.path.join(staged, "data"))
         return len(self.data_files())
 
     def compact_latest_by_key(self, keys: list[str], order_col: str) -> None:
         """Kafka log-compaction analogue: keep the max-``order_col`` row per
-        key, committed atomically like ``rewrite_data_files``."""
+        key, committed atomically via :meth:`_commit_swap`."""
         from pyspark.sql import Window
 
         df = self.read()
@@ -113,11 +167,7 @@ class TableHandle:
         if self.partition_by:
             wr = wr.partitionBy(*self.partition_by)
         wr.parquet(os.path.join(staged, "data"))
-        old = self.data_dir + ".old"
-        os.replace(self.data_dir, old)
-        os.replace(os.path.join(staged, "data"), self.data_dir)
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(staged, ignore_errors=True)
+        self._commit_swap(os.path.join(staged, "data"))
 
 
 def create_table(
@@ -130,15 +180,27 @@ def create_table(
     meta_path = os.path.join(path, _META)
     if os.path.exists(meta_path):
         raise FileExistsError(f"table already exists at {path}")
-    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    os.makedirs(os.path.join(path, "data-00000"), exist_ok=True)
     with open(meta_path, "w") as f:
         json.dump(
-            {"schema": schema_ddl, "partition_by": partition_by or []}, f
+            {
+                "schema": schema_ddl,
+                "partition_by": partition_by or [],
+                "version": 0,
+                "data_dir": "data-00000",
+            },
+            f,
         )
-    return TableHandle(spark, path, schema_ddl, partition_by or [])
+    return TableHandle(
+        spark, path, schema_ddl, partition_by or [], 0, "data-00000"
+    )
 
 
 def load_table(spark: SparkSession, path: str) -> TableHandle:
     with open(os.path.join(path, _META)) as f:
         meta = json.load(f)
-    return TableHandle(spark, path, meta["schema"], meta["partition_by"])
+    # pre-versioning tables (no version/data_dir keys) keep reading "data"
+    return TableHandle(
+        spark, path, meta["schema"], meta["partition_by"],
+        meta.get("version", 0), meta.get("data_dir", "data"),
+    )

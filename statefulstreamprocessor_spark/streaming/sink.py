@@ -65,22 +65,40 @@ class IdempotentBatchSink:
             json.dump({"batches": batches}, f)
         os.replace(tmp, self.ledger_path)  # atomic commit point
 
+    def _lineage_ids(self) -> set[int]:
+        if not os.path.exists(self.lineage_path):
+            return set()
+        with open(self.lineage_path) as f:
+            return {json.loads(line)["batch_id"] for line in f if line.strip()}
+
+    def _append_lineage(self, batch_id: int, n: int) -> None:
+        with open(self.lineage_path, "a") as f:
+            f.write(json.dumps({"batch_id": batch_id, "rows": n}) + "\n")
+
     # -------------------------------------------------------------- write
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in self.committed_batches():
-            return  # replayed epoch → no-op (exactly-once)
         epoch_dir = os.path.join(self.data_dir, f"batch={batch_id}")
+        if batch_id in self.committed_batches():
+            # replayed epoch → data no-op (exactly-once). A crash between
+            # the ledger commit and the lineage append below would have
+            # lost that epoch's lineage record forever (ADVICE round-2);
+            # the row count is recomputable from the committed epoch dir,
+            # so backfill it here instead of under-recording
+            if batch_id not in self._lineage_ids():
+                n = batch_df.sparkSession.read.parquet(epoch_dir).count()
+                self._append_lineage(batch_id, n)
+            return
         batch_df.write.mode("overwrite").parquet(epoch_dir)
         # row count from the written parquet footers — never batch_df.count(),
         # which would re-execute the whole micro-batch plan a second time
         n = batch_df.sparkSession.read.parquet(epoch_dir).count()
         self._commit(batch_id)
         # lineage strictly AFTER the atomic commit: a crash between the two
-        # re-runs the epoch (ledger miss) without having logged it, so the
-        # record appears exactly once; the reverse order could double-log a
-        # replayed epoch (data stays exactly-once either way)
-        with open(self.lineage_path, "a") as f:
-            f.write(json.dumps({"batch_id": batch_id, "rows": n}) + "\n")
+        # re-runs as a ledger-hit replay, which backfills the record above —
+        # the record appears exactly once across crashes; the reverse order
+        # could double-log a replayed epoch (data stays exactly-once either
+        # way)
+        self._append_lineage(batch_id, n)
 
     # --------------------------------------------------------------- read
     def read(self, spark: SparkSession) -> DataFrame:

@@ -58,6 +58,44 @@ def test_rewrite_data_files_compacts(spark, tmp_path):
     assert reopened.read().count() == total_before
 
 
+def test_rewrite_respects_target_files_per_partition(spark, tmp_path):
+    """target>1 must actually spread each partition over multiple files
+    (the old repartition(target, *partition_cols) hashed every partition
+    value to ONE task — ADVICE round-2); and never exceed the target."""
+    t = create_table(spark, str(tmp_path / "t"), DDL, partition_by=["lang"])
+    t.append(_rows(spark, 40))
+    t.rewrite_data_files(target_files_per_partition=2)
+    per_dir: dict[str, int] = {}
+    for f in t.data_files():
+        per_dir[os.path.dirname(f)] = per_dir.get(os.path.dirname(f), 0) + 1
+    assert per_dir and all(n <= 2 for n in per_dir.values()), per_dir
+    assert any(n == 2 for n in per_dir.values()), per_dir
+    assert t.read().count() == 40
+
+
+def test_maintenance_commit_is_versioned_and_sweeps_leftovers(spark, tmp_path):
+    """Crash-safety contract: maintenance commits by pointing the metadata
+    at a fresh versioned dir (single atomic os.replace of the metadata), so
+    a stale staging dir or an orphaned version dir from a prior crash never
+    breaks the next commit — it just gets swept."""
+    t = create_table(spark, str(tmp_path / "t"), DDL, partition_by=["lang"])
+    t.append(_rows(spark, 8))
+    # simulate prior-crash leftovers
+    for stale in ("rewrite_stale123", "data-00990"):
+        os.makedirs(str(tmp_path / "t" / stale))
+        open(str(tmp_path / "t" / stale / "junk.parquet"), "w").close()
+    old_dir = t.data_dir
+    t.rewrite_data_files(target_files_per_partition=1)
+    assert t.data_dir != old_dir and os.path.basename(t.data_dir) == "data-00001"
+    with open(str(tmp_path / "t" / "_table_metadata.json")) as f:
+        meta = json.load(f)
+    assert meta["version"] == 1 and meta["data_dir"] == "data-00001"
+    assert not os.path.exists(str(tmp_path / "t" / "rewrite_stale123"))
+    assert not os.path.exists(str(tmp_path / "t" / "data-00990"))
+    assert not os.path.exists(old_dir)
+    assert load_table(spark, str(tmp_path / "t")).read().count() == 8
+
+
 def test_compact_latest_by_key(spark, tmp_path):
     t = create_table(spark, str(tmp_path / "t"), DDL)
     t.append(_rows(spark, 4, base=0))

@@ -148,6 +148,30 @@ def test_sink_merge_keys_upsert(spark, tmp_path):
     assert got == {("a", 1), ("b", 2), ("c", 2)}
 
 
+def test_sink_lineage_backfilled_on_replay(spark, tmp_path):
+    """Crash between ledger commit and lineage append loses the epoch's
+    lineage record; the ledger-hit replay must reconstruct it from the
+    committed epoch dir (rows recounted from parquet) instead of
+    under-recording (ADVICE round-2)."""
+    import json as _json
+    import os as _os
+
+    from statefulstreamprocessor_spark.streaming.sink import IdempotentBatchSink
+
+    sink = IdempotentBatchSink(str(tmp_path / "s"))
+    sink(spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], ["k", "v"]), 0)
+    _os.remove(sink.lineage_path)  # simulate the crash-after-commit window
+    sink(spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], ["k", "v"]), 0)
+    with open(sink.lineage_path) as f:
+        records = [_json.loads(line) for line in f]
+    assert records == [{"batch_id": 0, "rows": 3}]
+    # and a further replay does not double-log
+    sink(spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], ["k", "v"]), 0)
+    with open(sink.lineage_path) as f:
+        assert len(f.readlines()) == 1
+    assert sink.read(spark).count() == 3
+
+
 def test_streaming_delta_band(spark, webtext_pdf, tmp_path):
     input_dir = _write_webtext_files(str(tmp_path), webtext_pdf, n_files=2)
     sink = run_webtext_pipeline(
