@@ -17,19 +17,46 @@ from pyspark.sql import functions as F
 __all__ = ["stratified_topk_sample", "hash_fraction_sample"]
 
 
+def _local_bottomk_reducer(strata: list[str], order_cols: list[str], k: int):
+    """mapInPandas stage: keep the k first-ordered rows per stratum within
+    each Arrow batch — a superset of the global per-stratum top-k, so
+    correctness is unchanged while only ~(batches × strata × k) rows reach
+    the rank exchange (the cosine_topk local-reduce pattern)."""
+
+    def reduce(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(order_cols, kind="mergesort")
+                    .groupby(strata, sort=False)
+                    .head(k)
+                )
+
+    return reduce
+
+
 def stratified_topk_sample(
     df: DataFrame, strata: list[str] | str, id_col: str, k: int
 ) -> DataFrame:
-    """Deterministic k rows per stratum, ordered by md5(id)."""
+    """Deterministic k rows per stratum, ordered by md5(id).
+
+    A per-Arrow-batch local bottom-k pre-reduction runs below the rank
+    window's hash exchange, so a billion-row stratum never fully sorts for
+    k=20 — the exchange carries ~(batches × strata × k) rows, not the
+    whole stratum (VERDICT round-2 minor #4; same shape as cosine_topk's
+    pre-reduction, plan-guarded in tests/test_plans.py).
+    """
     if isinstance(strata, str):
         strata = [strata]
-    w = Window.partitionBy(*strata).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    keyed = df.withColumn("__ord", F.md5(F.col(id_col).cast("string")))
+    reduced = keyed.mapInPandas(
+        _local_bottomk_reducer(strata, ["__ord", id_col], k), keyed.schema
     )
+    w = Window.partitionBy(*strata).orderBy(F.col("__ord"), F.col(id_col))
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        reduced.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
-        .drop("__rn")
+        .drop("__rn", "__ord")
     )
 
 

@@ -93,6 +93,25 @@ def test_cosine_topk_prereduces_before_rank_exchange(spark):
     assert min(map_ids) < min(ex_ids), plan
 
 
+def test_stratified_sample_prereduces_before_rank_exchange(spark):
+    """VERDICT r2 minor #4: the per-stratum rank must consume a local
+    bottom-k pre-reduction, not the full stratum — the MapInPandas node
+    has to sit below the window's hash exchange in the plan tree."""
+    from statefulstreamprocessor_spark.operators.sampling import (
+        stratified_topk_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    plan = _plan(stratified_topk_sample(docs, "lang", "doc_id", k=5))
+    map_ids = [int(m) for m in re.findall(r"^\((\d+)\) MapInPandas", plan, re.M)]
+    ex_ids = [int(m) for m in re.findall(r"^\((\d+)\) Exchange", plan, re.M)]
+    assert map_ids, plan
+    assert ex_ids, plan
+    assert min(map_ids) < min(ex_ids), plan
+
+
 def test_near_dup_rescore_defaults_to_hash_joins(spark):
     """VERDICT r2 'What's wrong' #2: the exact-rescore joins must default
     to plain equi-joins on id — a *forced* broadcast of the full corpus
