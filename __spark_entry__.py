@@ -553,17 +553,22 @@ def q_nn_pair_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming closure join pinned to the SAME DuckDB oracle as the batch
     operators — streaming == batch parity checked inside the driver gate.
 
-    The events table is written out as event-time-ordered parquet chunks
-    (the Kafka stand-in), consumed with maxFilesPerTrigger=1 + a 0-second
-    watermark through the applyInPandasWithState operator, committed via
-    the exactly-once epoch sink, and read back as a batch DataFrame.
+    The events table is staged as event-time-ordered parquet chunks (the
+    Kafka stand-in) by a fully DISTRIBUTED write (repartitionByRange +
+    sortWithinPartitions — no driver-side toPandas, VERDICT r2 item #5),
+    consumed with maxFilesPerTrigger=1 + a 0-second watermark through the
+    applyInPandasWithState operator, committed via the exactly-once epoch
+    sink, and read back as a batch DataFrame.
     """
+    import datetime
     import os
     import tempfile
 
-    import pandas as pd
-
     from statefulstreamprocessor_spark.shipping import ensure_package_shipped
+    from statefulstreamprocessor_spark.sources.staging import (
+        append_flush_file,
+        write_time_ordered_chunks,
+    )
     from statefulstreamprocessor_spark.streaming.sink import IdempotentBatchSink
     from statefulstreamprocessor_spark.streaming.stateful_join import (
         streaming_nn_join,
@@ -583,32 +588,22 @@ def q_nn_pair_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
-    pdf = ev.orderBy("ts", "side").toPandas()
     tmp = tempfile.mkdtemp(prefix="ssp_stream_gate_")
     in_dir = os.path.join(tmp, "input")
-    os.makedirs(in_dir)
-    n_files = 4
-    step = (len(pdf) + n_files - 1) // n_files
-    for i in range(n_files):
-        # event-time-ordered chunks: later files only carry later rows, so
-        # the 0-second watermark never drops anything as late
-        pdf.iloc[i * step : (i + 1) * step].to_parquet(
-            os.path.join(in_dir, f"part-{i:03d}.parquet"),
-            index=False,
-            coerce_timestamps="us",  # Spark reads µs NTZ; pandas defaults ns
-        )
+    idx = write_time_ordered_chunks(
+        ev, in_dir, n_files=4, ts_col="ts", tiebreak_cols=["side"]
+    )
     # punctuation record: Spark's watermark is millisecond-truncated, so a
     # µs-precision final event time is never sealed by wm == max - 0s; one
     # sentinel row for an unused key pushes the watermark past everything
     # (a lone one-sided row emits no pairs)
-    flush = pdf.iloc[-1:].copy()
-    flush["user_id"] = -1
-    flush["ts"] = flush["ts"] + pd.Timedelta(hours=1)
-    flush.to_parquet(
-        os.path.join(in_dir, f"part-{n_files:03d}.parquet"),
-        index=False,
-        coerce_timestamps="us",
+    mx = ev.agg(F.max("ts").alias("m")).first()["m"]
+    flush = spark.createDataFrame(
+        [(-1, mx + datetime.timedelta(hours=1), "r", -1, 0.0)],
+        "user_id bigint, ts timestamp_ntz, side string, "
+        "event_id bigint, value double",
     )
+    append_flush_file(flush, in_dir, idx)
     raw = (
         spark.readStream.schema(
             "user_id bigint, ts timestamp_ntz, side string, "
@@ -672,34 +667,28 @@ def q_tumbling_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1 h aggregation in STREAMING mode (availableNow + 0 s
     watermark + append output), pinned to the same DuckDB oracle as the
     batch q_tumbling_hourly. Uses Spark's built-in windowed aggregation
-    state; a punctuation row (dummy event_type, max ts + 1 h) closes the
-    final window, and its own window is filtered out of the result."""
+    state; a punctuation row (dummy event_type, max ts + 2 h) closes the
+    final window, and its own window is filtered out of the result. Input
+    chunks are staged by the distributed writer (no driver toPandas)."""
+    import datetime
     import os
     import tempfile
 
-    import pandas as pd
+    from statefulstreamprocessor_spark.sources.staging import (
+        append_flush_file,
+        write_time_ordered_chunks,
+    )
 
     ev = _load(spark, sf_dir, "events").select("event_type", "ts", "value")
-    pdf = ev.orderBy("ts").toPandas()
     tmp = tempfile.mkdtemp(prefix="ssp_tumbling_gate_")
     in_dir = os.path.join(tmp, "input")
-    os.makedirs(in_dir)
-    n_files = 3
-    step = (len(pdf) + n_files - 1) // n_files
-    for i in range(n_files):
-        pdf.iloc[i * step : (i + 1) * step].to_parquet(
-            os.path.join(in_dir, f"part-{i:03d}.parquet"),
-            index=False,
-            coerce_timestamps="us",
-        )
-    flush = pdf.iloc[-1:].copy()
-    flush["event_type"] = "__punctuation__"
-    flush["ts"] = flush["ts"] + pd.Timedelta(hours=2)
-    flush.to_parquet(
-        os.path.join(in_dir, f"part-{n_files:03d}.parquet"),
-        index=False,
-        coerce_timestamps="us",
+    idx = write_time_ordered_chunks(ev, in_dir, n_files=3, ts_col="ts")
+    mx = ev.agg(F.max("ts").alias("m")).first()["m"]
+    flush = spark.createDataFrame(
+        [("__punctuation__", mx + datetime.timedelta(hours=2), 0.0)],
+        "event_type string, ts timestamp_ntz, value double",
     )
+    append_flush_file(flush, in_dir, idx)
     raw = (
         spark.readStream.schema("event_type string, ts timestamp_ntz, value double")
         .option("maxFilesPerTrigger", 1)
@@ -741,33 +730,28 @@ def q_session_30m_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30 min gap, per user) in STREAMING mode — Spark's
     session_window state merged incrementally across availableNow
     micro-batches, pinned to the batch q_session_30m oracle. A punctuation
-    row for an unused user closes every real session at end-of-stream."""
+    row for an unused user closes every real session at end-of-stream.
+    Input chunks are staged by the distributed writer (no driver
+    toPandas)."""
+    import datetime
     import os
     import tempfile
 
-    import pandas as pd
+    from statefulstreamprocessor_spark.sources.staging import (
+        append_flush_file,
+        write_time_ordered_chunks,
+    )
 
     ev = _load(spark, sf_dir, "events").select("user_id", "ts")
-    pdf = ev.orderBy("ts").toPandas()
     tmp = tempfile.mkdtemp(prefix="ssp_session_gate_")
     in_dir = os.path.join(tmp, "input")
-    os.makedirs(in_dir)
-    n_files = 3
-    step = (len(pdf) + n_files - 1) // n_files
-    for i in range(n_files):
-        pdf.iloc[i * step : (i + 1) * step].to_parquet(
-            os.path.join(in_dir, f"part-{i:03d}.parquet"),
-            index=False,
-            coerce_timestamps="us",
-        )
-    flush = pdf.iloc[-1:].copy()
-    flush["user_id"] = -1
-    flush["ts"] = flush["ts"] + pd.Timedelta(hours=2)
-    flush.to_parquet(
-        os.path.join(in_dir, f"part-{n_files:03d}.parquet"),
-        index=False,
-        coerce_timestamps="us",
+    idx = write_time_ordered_chunks(ev, in_dir, n_files=3, ts_col="ts")
+    mx = ev.agg(F.max("ts").alias("m")).first()["m"]
+    flush = spark.createDataFrame(
+        [(-1, mx + datetime.timedelta(hours=2))],
+        "user_id bigint, ts timestamp_ntz",
     )
+    append_flush_file(flush, in_dir, idx)
     raw = (
         spark.readStream.schema("user_id bigint, ts timestamp_ntz")
         .option("maxFilesPerTrigger", 1)
