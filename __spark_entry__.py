@@ -277,6 +277,62 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_vec_id", "neighbor_id", "sim", "rank")
 
 
+def q_ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (LSH) cosine top-k with a planted-neighbor oracle.
+
+    An approximate index can only be SQL-gated where its recall is provably
+    1: the queries are perturbed copies of every 50th corpus vector (first
+    component +0.2, the q_embedding_near_dup augmentation), whose true
+    nearest neighbor is the source vector at cosine ≈0.95-0.99 — while the
+    corpus has no natural pairs above ~0.60. At n_planes=6 / n_tables=16
+    the probability the LSH sweep misses a planted source is
+    (1 − p⁶)¹⁶ ≈ 6e-6 per query (p = 1 − acos(sim)/π), so top-1 over the
+    recovered candidates equals the brute-force SQL top-1 — the gate
+    proves the index recovers every planted neighbor and scores it
+    identically (same rounded codegen'd cosine as cosine_topk).
+    """
+    from statefulstreamprocessor_spark.operators.similarity import cosine_topk_lsh
+    from statefulstreamprocessor_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    emb = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.2)).otherwise(x),
+        ).alias("embedding"),
+    )
+    out = cosine_topk_lsh(
+        queries_df, emb, "vec_id", "embedding", dim=64, k=1,
+        n_planes=6, n_tables=16,
+    )
+    return out.select("q_vec_id", "neighbor_id", "sim", "rank")
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload resize stage (image-pipeline shape): decode-stub
+    (w, h) raster from the UTF-8 payload bytes, nearest-neighbor resample
+    to 24×16, emitted as (doc_id, width, height, md5(resized bytes)). The
+    resample is pure index math — out[r][c] = bytes[(⌊r·h/16⌋·w +
+    ⌊c·w/24⌋) mod n] — so the DuckDB oracle reproduces the resized string
+    from codepoints and md5s it (the q_multimodal_frames discipline)."""
+    from statefulstreamprocessor_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_payload,
+    )
+    from statefulstreamprocessor_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs = _load(spark, sf_dir, "documents")
+    out = resize_payload(
+        attach_binary_payload(docs, "text", "doc_id"), target_w=24, target_h=16
+    )
+    return out.select(
+        "doc_id", "width", "height", F.md5("payload").alias("resized_md5")
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (training-data dedup op):
     hyperplane-LSH sweep + exact rescore at cosine >= 0.95, verified
@@ -549,16 +605,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_nn_pair_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming closure join pinned to the SAME DuckDB oracle as the batch
-    operators — streaming == batch parity checked inside the driver gate.
+def _run_streaming_nn_join(spark: SparkSession, sf_dir: str):
+    """Shared streaming-join stage for the streaming gate queries.
 
-    The events table is staged as event-time-ordered parquet chunks (the
-    Kafka stand-in) by a fully DISTRIBUTED write (repartitionByRange +
+    Stages the events table as event-time-ordered parquet chunks (the
+    Kafka stand-in) with a fully DISTRIBUTED write (repartitionByRange +
     sortWithinPartitions — no driver-side toPandas, VERDICT r2 item #5),
-    consumed with maxFilesPerTrigger=1 + a 0-second watermark through the
-    applyInPandasWithState operator, committed via the exactly-once epoch
-    sink, and read back as a batch DataFrame.
+    consumes them with maxFilesPerTrigger=1 + a 0-second watermark through
+    the applyInPandasWithState operator, and commits via the exactly-once
+    epoch sink. Returns the sink (read it back as a batch DataFrame).
     """
     import datetime
     import os
@@ -630,6 +685,14 @@ def q_nn_pair_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    return sink
+
+
+def q_nn_pair_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming closure join pinned to the SAME DuckDB oracle as the batch
+    operators — streaming == batch parity checked inside the driver gate
+    (see :func:`_run_streaming_nn_join` for the replay plumbing)."""
+    sink = _run_streaming_nn_join(spark, sf_dir)
     out = sink.read(spark)
     return out.select(
         "user_id",
@@ -639,6 +702,84 @@ def q_nn_pair_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         _us(F.col("s_ts").cast("timestamp_ntz")).alias("s_ts_us"),
         "s_event_id",
         "s_value",
+    )
+
+
+def q_stream_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming multi-stateful COMPOSITION (VERDICT r2 item #6): stateful
+    closure join → exactly-once intermediate sink → second STREAMING query
+    doing a tumbling 1 h rollup over the joined pairs — the reference's
+    joiner → DB → dashboard-aggregation chain
+    (05_LocalStreamBuffer/ts_join_with_kafka_eos.py feeding
+    06_DB_Connector/db_connector.py:21-66), pinned to a DuckDB oracle
+    computed off the same closure-pair SQL as the batch join.
+
+    Stage 2 restages the sink output as event-time-ordered chunks (the
+    intermediate topic stand-in) and runs Spark's built-in streaming
+    windowed aggregation over them; the punctuation row (2 h past the
+    last pair) flushes the final window and lands in its own window,
+    filtered out of the RESULT — a pre-aggregation filter is unsafe here
+    because Catalyst pushes it below the EventTimeWatermark node, so the
+    sentinel would never advance the watermark.
+    """
+    import datetime
+    import os
+    import tempfile
+
+    from statefulstreamprocessor_spark.sources.staging import (
+        append_flush_file,
+        write_time_ordered_chunks,
+    )
+
+    sink = _run_streaming_nn_join(spark, sf_dir)
+    pairs = sink.read(spark).select(
+        F.col("r_ts").cast("timestamp_ntz").alias("r_ts"),
+        "r_value",
+    )
+    tmp = tempfile.mkdtemp(prefix="ssp_rollup_gate_")
+    in_dir = os.path.join(tmp, "input")
+    idx = write_time_ordered_chunks(pairs, in_dir, n_files=3, ts_col="r_ts")
+    mx = pairs.agg(F.max("r_ts").alias("m")).first()["m"]
+    flush = spark.createDataFrame(
+        [(mx + datetime.timedelta(hours=2), 0.0)],
+        "r_ts timestamp_ntz, r_value double",
+    )
+    append_flush_file(flush, in_dir, idx)
+    raw = (
+        spark.readStream.schema("r_ts timestamp_ntz, r_value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    agg = (
+        raw.select(F.col("r_ts").cast("timestamp").alias("r_ts"), "r_value")
+        .withWatermark("r_ts", "0 seconds")
+        .groupBy(F.window("r_ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("r_value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_r_value"),
+        )
+    )
+    out_dir = os.path.join(tmp, "out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(tmp, "checkpoint2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(out_dir)
+    # every real window starts at or before the max pair timestamp; the
+    # punctuation's window starts ≥ 1 h past it — filter it from the result
+    return res.filter(
+        F.col("window.start").cast("timestamp_ntz") <= F.lit(mx)
+    ).select(
+        _us(F.col("window.start").cast("timestamp_ntz")).alias("ws_us"),
+        "n_pairs",
+        "sum_r_value",
     )
 
 
@@ -821,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
@@ -834,6 +976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
+        "stream_join_rollup": q_stream_join_rollup,
     }
     return {k: _shipped(v) for k, v in qs.items()}
 
@@ -1215,6 +1359,69 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT q_vec_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
         """,
+        "ann_cosine_topk_lsh": """
+            WITH q AS (
+                -- planted queries: perturbed copies of every 50th vector
+                -- (DuckDB lambda index is 1-based)
+                SELECT vec_id + 2000000 AS q_vec_id,
+                       list_transform(embedding,
+                           (x, i) -> CASE WHEN i = 1 THEN x + 0.2 ELSE x END
+                       ) AS qv
+                FROM embeddings WHERE vec_id % 50 = 0
+            ), scored AS (
+                SELECT q.q_vec_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(
+                           CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])
+                       ), 4) AS sim
+                FROM q CROSS JOIN embeddings e
+            ), ranked AS (
+                SELECT q_vec_id, neighbor_id, sim,
+                       row_number() OVER (
+                           PARTITION BY q_vec_id
+                           ORDER BY sim DESC, neighbor_id ASC
+                       ) AS rank
+                FROM scored
+            )
+            SELECT q_vec_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 1
+        """,
+        "multimodal_resize": """
+            WITH b AS (
+                SELECT doc_id, text AS t, length(text) AS n FROM documents
+            ), dims AS (
+                -- decode stub: w/h from first/last payload byte (ASCII ⇒
+                -- byte == codepoint)
+                SELECT doc_id, t, n,
+                       16 + (ascii(t[1]) % 48) AS w,
+                       16 + (ascii(t[n]) % 48) AS h
+                FROM b WHERE n > 0
+            ), resized AS (
+                -- out[r][c] = bytes[(floor(r*h/16)*w + floor(c*w/24)) % n]
+                SELECT doc_id,
+                       md5(array_to_string(list_transform(
+                           range(0, 16 * 24),
+                           i -> t[ (((i // 24) * h // 16) * w
+                                    + ((i % 24) * w // 24)) % n + 1 ]
+                       ), '')) AS resized_md5
+                FROM dims
+            )
+            SELECT b.doc_id, CAST(24 AS INT) AS width, CAST(16 AS INT) AS height,
+                   CASE WHEN b.n = 0 THEN md5('') ELSE r.resized_md5 END
+                       AS resized_md5
+            FROM b LEFT JOIN resized r USING (doc_id)
+        """,
+        "stream_join_rollup": (
+            """
+            SELECT epoch_us(time_bucket(INTERVAL 1 HOUR,
+                                        make_timestamp(r_ts_us))) AS ws_us,
+                   count(*) AS n_pairs,
+                   CAST(sum(CAST(r_value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_r_value
+            FROM ("""
+            + _NN_ORACLE.format(extra_where="")
+            + """)
+            GROUP BY 1
+        """
+        ),
         "embedding_near_dup": """
             WITH e AS (
                 SELECT vec_id, embedding FROM embeddings
