@@ -24,6 +24,7 @@ from pyspark.sql.types import StringType
 __all__ = [
     "extract_text",
     "html_to_text_udf",
+    "html_to_text_md5_udf",
     "token_count_col",
     "bpe_token_count_col",
     "quality_score_cols",
@@ -59,6 +60,22 @@ def extract_text(html_bytes: bytes) -> str:
 def html_to_text_udf(html: pd.Series) -> pd.Series:
     """Arrow-batched extraction UDF — the hot-path form of extract_text."""
     return html.map(extract_text)
+
+
+@F.pandas_udf(StringType())
+def html_to_text_md5_udf(html: pd.Series) -> pd.Series:
+    """Fused extract + fingerprint: md5 hex of the extracted text, computed
+    INSIDE the UDF. Bit-identical to ``F.md5(html_to_text_udf(x))`` (md5 of
+    the UTF-8 bytes), but only 32 chars cross the Python→JVM Arrow boundary
+    per row instead of the full extracted text — on the streaming bench the
+    extracted-text transfer dominated the map stage's memory-bandwidth
+    footprint (the documented 2→8 scaling limiter, BENCH.md §3). Use when
+    the downstream consumer needs only the fingerprint."""
+    import hashlib
+
+    return html.map(
+        lambda b: hashlib.md5(extract_text(b).encode()).hexdigest()
+    )
 
 
 # ---------------------------------------------------------------- analysis

@@ -113,3 +113,26 @@ def test_winnow_fingerprints_properties():
     assert a != c
     assert winnow_fingerprints("") == []
     assert winnow_fingerprints("ab") == []
+
+
+def test_fused_md5_udf_matches_jvm_md5(spark):
+    """html_to_text_md5_udf must be bit-identical to
+    F.md5(html_to_text_udf(html)) — same extraction, same UTF-8 md5 —
+    while shipping only the 32-char digest across the Arrow boundary."""
+    from pyspark.sql import functions as F
+
+    from statefulstreamprocessor_spark.functions.textops import (
+        html_to_text_md5_udf,
+        html_to_text_udf,
+    )
+
+    rows = [
+        (i, f"<p>doc {i}</p><script>x</script> body &amp; tail {i * 7}".encode())
+        for i in range(200)
+    ] + [(1000, b""), (1001, None), (1002, "<p>unicode é中文</p>".encode())]
+    df = spark.createDataFrame(rows, "id long, html binary")
+    bad = df.select(
+        html_to_text_md5_udf("html").alias("fused"),
+        F.md5(F.encode(html_to_text_udf("html"), "utf-8")).alias("jvm"),
+    ).filter(F.col("fused") != F.col("jvm")).count()
+    assert bad == 0
