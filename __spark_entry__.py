@@ -519,6 +519,21 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_topk_sample(docs, "lang", "doc_id", k=20)
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash fraction sampling (training-data op): keep docs whose
+    md5(id∥salt) 32-bit prefix falls under 0.2·2³² — a pure function of the
+    data, so re-runs/retries/audits select identical rows. The oracle uses
+    the lexicographic-hex equivalent (fixed-length lowercase hex compares
+    identically to its numeric value): prefix < '33333333' ⟺
+    int(prefix, 16) < 858993459 = ⌊0.2·(2³²−1)⌋."""
+    from statefulstreamprocessor_spark.operators.sampling import (
+        hash_fraction_sample,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return hash_fraction_sample(docs, "doc_id", fraction=0.2, salt="r3")
+
+
 def _char_gram_set(text: F.Column, k: int = 5) -> F.Column:
     """Distinct character k-gram set as an array column (pure Catalyst)."""
     return F.array_distinct(
@@ -972,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nn_pair_join_streaming": q_nn_pair_join_streaming,
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
+        "hash_sample": q_hash_sample,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "multimodal_features": q_multimodal_features,
@@ -1593,6 +1609,11 @@ def oracle_sql() -> dict[str, str]:
                 len(list_filter(cs, c -> c // 32 = 6)) AS h6,
                 len(list_filter(cs, c -> c // 32 = 7)) AS h7
             FROM cp
+        """,
+        "hash_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'r3'), 1, 8)
+                  < '33333333'
         """,
         "stratified_sample": """
             SELECT doc_id, lang, n_chars FROM (
