@@ -310,6 +310,33 @@ def q_ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_vec_id", "neighbor_id", "sim", "rank")
 
 
+def q_ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via the IVF index (the second scale path
+    next to LSH), gated with the same planted-neighbor discipline as
+    q_ann_cosine_topk_lsh: queries are perturbed copies (first component
+    +0.05 → cosine ≈0.997 to their source, ≈4° of angle) so the source's
+    cell is within the query's n_probe=4 of 16 probed cells with margin
+    to spare, and top-1 over the probed cells equals the brute-force SQL
+    top-1 (nothing else in the corpus is above ~0.60)."""
+    from statefulstreamprocessor_spark.operators.similarity import cosine_topk_ivf
+    from statefulstreamprocessor_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    emb = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 3_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.05)).otherwise(x),
+        ).alias("embedding"),
+    )
+    out = cosine_topk_ivf(
+        queries_df, emb, "vec_id", "embedding", dim=64, k=1,
+        n_centroids=16, n_probe=4,
+    )
+    return out.select("q_vec_id", "neighbor_id", "sim", "rank")
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload resize stage (image-pipeline shape): decode-stub
     (w, h) raster from the UTF-8 payload bytes, nearest-neighbor resample
@@ -978,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
+        "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
@@ -1382,6 +1410,29 @@ def oracle_sql() -> dict[str, str]:
                 SELECT vec_id + 2000000 AS q_vec_id,
                        list_transform(embedding,
                            (x, i) -> CASE WHEN i = 1 THEN x + 0.2 ELSE x END
+                       ) AS qv
+                FROM embeddings WHERE vec_id % 50 = 0
+            ), scored AS (
+                SELECT q.q_vec_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(
+                           CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])
+                       ), 4) AS sim
+                FROM q CROSS JOIN embeddings e
+            ), ranked AS (
+                SELECT q_vec_id, neighbor_id, sim,
+                       row_number() OVER (
+                           PARTITION BY q_vec_id
+                           ORDER BY sim DESC, neighbor_id ASC
+                       ) AS rank
+                FROM scored
+            )
+            SELECT q_vec_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 1
+        """,
+        "ann_cosine_topk_ivf": """
+            WITH q AS (
+                SELECT vec_id + 3000000 AS q_vec_id,
+                       list_transform(embedding,
+                           (x, i) -> CASE WHEN i = 1 THEN x + 0.05 ELSE x END
                        ) AS qv
                 FROM embeddings WHERE vec_id % 50 = 0
             ), scored AS (

@@ -296,3 +296,29 @@ def test_connected_components_doubling_long_chain(spark, tmp_path):
     ).collect()
     assert all(r["cluster_id"] == 0 for r in got)
     assert len(got) == n
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    """IVF coarse quantizer: recall vs brute force at n_probe=4/16, exact
+    sims for overlapping pairs (same rounded scorer), and bit-identical
+    output across two runs (deterministic sample + seeded k-means)."""
+    from statefulstreamprocessor_spark.operators.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    exact = cosine_topk(q, emb, "vec_id", "embedding", k=5).collect()
+    run1 = cosine_topk_ivf(q, emb, "vec_id", "embedding", dim=64, k=5).collect()
+    run2 = cosine_topk_ivf(q, emb, "vec_id", "embedding", dim=64, k=5).collect()
+    key = lambda rows: sorted(
+        (r["q_vec_id"], r["neighbor_id"], r["sim"], r["rank"]) for r in rows
+    )
+    assert key(run1) == key(run2), "IVF index not deterministic"
+    exact_set = {(r["q_vec_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["q_vec_id"], r["neighbor_id"]) for r in run1}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    exact_sims = {(r["q_vec_id"], r["neighbor_id"]): r["sim"] for r in exact}
+    for r in run1:
+        kk = (r["q_vec_id"], r["neighbor_id"])
+        if kk in exact_sims:
+            assert r["sim"] == exact_sims[kk]
