@@ -468,6 +468,22 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum_value", F.col("sum_value").cast("double"))
 
 
+def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group profiling stats with EXACT percentiles (dashboard / data-
+    quality shape): Spark's exact `percentile` (sort-based, linear
+    interpolation) matches DuckDB's `quantile_cont` bit-for-bit after
+    round(6) — the approx sketch (`approx_percentile`) is the scale knob a
+    user flips when exactness stops paying its sort."""
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
 def q_windowed_latest_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink-comparator windowed latest-vs-latest pair with power derivation
     (SURVEY §2.3 J5, §2.2 P9/P10/P12)."""
@@ -1010,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "salted_agg": q_salted_agg,
+        "stats_summary": q_stats_summary,
         "windowed_latest_pair": q_windowed_latest_pair,
         "replay_pair_join": q_replay_pair_join,
         "nn_pair_join_streaming": q_nn_pair_join_streaming,
@@ -1560,6 +1577,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
                    max(user_id) AS max_user
             FROM events GROUP BY event_type
+        """,
+        "stats_summary": """
+            SELECT event_type, count(*) AS n,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(min(value), 6) AS vmin,
+                   round(max(value), 6) AS vmax
+            FROM events GROUP BY 1
         """,
         "replay_pair_join": _REPLAY_ORACLE,
         "minhash_lsh": """
