@@ -446,6 +446,112 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style word-repetition quality stats per document: dup-word
+    ratio + most-frequent-word share, argmax folded into the aggregation
+    as max(struct(cnt, word)) — no row_number window, two pre-reduced
+    exchanges total."""
+    from statefulstreamprocessor_spark.operators.quality import (
+        word_repetition_stats,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    return word_repetition_stats(docs, "text", "doc_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction stage (emails then phones) with audit counts. PII is
+    planted deterministically from doc_id so the oracle rebuilds the exact
+    same input; the scrubbed text is compared by md5."""
+    from statefulstreamprocessor_spark.functions.textops import pii_scrub_cols
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = docs.withColumn(
+        "t",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    did.cast("string"),
+                    F.lit(".x@mail-host.example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((did % 1000).cast("string"), 3, "0"),
+                    F.lit("-7788"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    p = pii_scrub_cols(F.col("t"))
+    return seeded.select(
+        "doc_id",
+        p["n_emails"].cast("bigint").alias("n_emails"),
+        p["n_phones"].cast("bigint").alias("n_phones"),
+        F.md5(p["scrubbed"]).alias("scrub_md5"),
+    )
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (webtext identity key): case-fold host, strip
+    www./tracking params/fragment, trim trailing slash — all portable
+    regexp, urls planted deterministically from doc_id/source."""
+    from statefulstreamprocessor_spark.functions.urlops import (
+        normalize_url_col,
+        url_parts_cols,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(did % 7 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com/p/"),
+        did.cast("string"),
+        F.when(did % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="),
+                did.cast("string"),
+                F.lit("&utm_campaign=x"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    seeded = docs.select("doc_id", url.alias("url"))
+    p = url_parts_cols(F.col("url"))
+    return seeded.select(
+        "doc_id",
+        p["host"].alias("host"),
+        p["path"].alias("path"),
+        p["query"].alias("query"),
+        normalize_url_col(F.col("url")).alias("url_norm"),
+    )
+
+
+def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain rollup over canonicalized urls (the aggregate every
+    crawl-corpus report runs): pages, distinct paths, tracked-query share."""
+    urls = q_url_normalize(spark, sf_dir)
+    return urls.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("path").alias("n_paths"),
+        F.sum(F.when(F.col("query") != "", 1).otherwise(0)).alias(
+            "n_with_query"
+        ),
+    )
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (hot-key skew path) — results must be
     identical to the plain GROUP BY oracle."""
@@ -1027,6 +1133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "salted_agg": q_salted_agg,
         "stats_summary": q_stats_summary,
+        "doc_repetition": q_doc_repetition,
+        "pii_scrub": q_pii_scrub,
+        "url_normalize": q_url_normalize,
+        "domain_rollup": q_domain_rollup,
         "windowed_latest_pair": q_windowed_latest_pair,
         "replay_pair_join": q_replay_pair_join,
         "nn_pair_join_streaming": q_nn_pair_join_streaming,
@@ -1042,6 +1152,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     return {k: _shipped(v) for k, v in qs.items()}
 
+
+# url canonicalization oracle: identical regex PATTERNS to
+# functions/urlops.py (only the group-reference spelling differs — RE2
+# writes "\1" where Java writes "$1"); the planted url construction
+# mirrors q_url_normalize exactly.
+_URL_NORMALIZE_ORACLE = """
+    WITH seeded AS (
+        SELECT doc_id,
+               'HTTPS://'
+               || CASE WHEN doc_id % 7 = 0 THEN 'WWW.' ELSE '' END
+               || source || '.example.com/p/' || doc_id
+               || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '?utm_source=feed&id=' || doc_id
+                            || '&utm_campaign=x'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+        FROM documents
+    ), parts AS (
+        SELECT doc_id, url,
+               regexp_replace(
+                   lower(regexp_extract(
+                       url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                   '^www\\.', '') AS host,
+               regexp_extract(
+                   url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1
+               ) AS raw_path,
+               regexp_extract(url, '\\?([^#]*)', 1) AS raw_q
+        FROM seeded
+    ), norm AS (
+        SELECT doc_id, url, host,
+               CASE WHEN raw_path = '' THEN '/'
+                    WHEN raw_path = '/' THEN '/'
+                    ELSE regexp_replace(raw_path, '/$', '') END AS path,
+               regexp_replace(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(raw_q,
+                           '(^|&)(utm_[a-z]+|ref)=[^&]*', '\\1', 'g'),
+                       '&&+', '&', 'g'),
+                   '&$', ''), '^&', '') AS query
+        FROM parts
+    )
+    SELECT doc_id, host, path, query,
+           'https://' || host || path
+           || CASE WHEN query = '' THEN '' ELSE '?' || query END AS url_norm
+    FROM norm
+"""
 
 # replay semantics (kernels.py E1/E2/E3) in SQL: per direction (X earlier,
 # Y later): E1 = JR2 gap join (x in (pred_Y(y).ts, y.ts), arrived before y),
@@ -1585,6 +1742,69 @@ def oracle_sql() -> dict[str, str]:
                    round(min(value), 6) AS vmin,
                    round(max(value), 6) AS vmax
             FROM events GROUP BY 1
+        """,
+        "doc_repetition": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+                FROM documents
+            ), wc AS (
+                SELECT doc_id, w, count(*) AS cnt
+                FROM words WHERE w <> '' GROUP BY 1, 2
+            ), agg AS (
+                SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+                       count(*) AS n_distinct_words,
+                       max({'cnt': cnt, 'w': w}) AS top
+                FROM wc GROUP BY 1
+            )
+            SELECT doc_id, n_words, n_distinct_words,
+                   round((n_words - n_distinct_words) / n_words, 6)
+                       AS dup_word_ratio,
+                   top.w AS top_word,
+                   round(top.cnt / n_words, 6) AS top_word_ratio
+            FROM agg
+        """,
+        "pii_scrub": """
+            WITH seeded AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' contact u' || doc_id
+                                    || '.x@mail-host.example.com'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' call 555-'
+                                    || lpad(CAST(doc_id % 1000 AS VARCHAR),
+                                            3, '0')
+                                    || '-7788'
+                               ELSE '' END AS t
+                FROM documents
+            ), s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(
+                           t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+                       )) AS n_emails,
+                       regexp_replace(
+                           t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'
+                       ) AS t2
+                FROM seeded
+            )
+            SELECT doc_id, n_emails,
+                   len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+                       AS n_phones,
+                   md5(regexp_replace(t2, '[0-9]{3}-[0-9]{3}-[0-9]{4}',
+                                      '<PHONE>', 'g')) AS scrub_md5
+            FROM s1
+        """,
+        "url_normalize": _URL_NORMALIZE_ORACLE,
+        "domain_rollup": f"""
+            WITH urls AS ({_URL_NORMALIZE_ORACLE})
+            SELECT host, count(*) AS n_pages,
+                   count(DISTINCT path) AS n_paths,
+                   CAST(sum(CASE WHEN query <> '' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_with_query
+            FROM urls GROUP BY 1
         """,
         "replay_pair_join": _REPLAY_ORACLE,
         "minhash_lsh": """

@@ -31,6 +31,7 @@ __all__ = [
     "lang_id_udf",
     "lang_id_py",
     "fingerprint_md5",
+    "pii_scrub_cols",
     "winnow_fingerprints",
     "winnow_fingerprints_udf",
 ]
@@ -146,6 +147,34 @@ def lang_id_udf(text: pd.Series) -> pd.Series:
 def fingerprint_md5(text_col):
     """Whole-document fingerprint — md5 (identical in Spark and DuckDB)."""
     return F.md5(text_col)
+
+
+# PII patterns are deliberately engine-portable: plain character classes +
+# bounded quantifiers, no backreferences / lookaround, so Java regex (Spark)
+# and RE2 (DuckDB with the 'g' flag — DuckDB's regexp_replace is first-match
+# by default while Spark's is global) find the identical match set.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_PATTERN = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub_cols(text_col):
+    """PII redaction as pure column expressions (training-data scrub stage).
+
+    Emails then phones are replaced with typed placeholder tags; the match
+    counts ride along so the pipeline can filter or audit by redaction
+    density. All JVM-side regexp — no Python in the hot path; the redacted
+    text is a deterministic pure function of the input, so the stage
+    composes with dedup/fingerprinting downstream.
+    """
+    n_emails = F.regexp_count(text_col, F.lit(PII_EMAIL_PATTERN))
+    no_email = F.regexp_replace(text_col, PII_EMAIL_PATTERN, "<EMAIL>")
+    n_phones = F.regexp_count(no_email, F.lit(PII_PHONE_PATTERN))
+    scrubbed = F.regexp_replace(no_email, PII_PHONE_PATTERN, "<PHONE>")
+    return {
+        "n_emails": n_emails,
+        "n_phones": n_phones,
+        "scrubbed": scrubbed,
+    }
 
 
 _WINNOW_B = 0x100000001B3  # odd → invertible mod 2^64 (FNV prime)

@@ -1,0 +1,72 @@
+"""Corpus-quality operators for LLM-training-data pipelines.
+
+Repetition filtering is the canonical web-corpus cleaning rule (the
+"repetition removal" family popularized by the Gopher/MassiveText and
+RefinedWeb filtering recipes): documents whose text is dominated by a few
+repeated words/lines are boilerplate, not prose. The reference engine's
+quality hooks are per-record scalar transforms
+(``02_PreProcessing/src/main.py``-style record maps); here the corpus-level
+form is expressed as DataFrame aggregations so Catalyst keeps everything
+JVM-side and map-side-combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document word-repetition statistics (Gopher-style quality rule).
+
+    Output: ``id`` | ``n_words`` | ``n_distinct_words`` | ``dup_word_ratio``
+    (fraction of word occurrences that repeat an earlier word) | ``top_word``
+    | ``top_word_ratio`` (most-frequent-word share).
+
+    ``top_word`` is the deterministic argmax: highest count, ties broken by
+    the lexicographically GREATEST word — computed as ``max(struct(cnt, w))``
+    so the argmax rides the same single aggregation instead of a
+    row_number window (one fewer exchange).
+
+    Physical shape (the 100-TB story): explode → partial-aggregated
+    ``groupBy(id, word)`` — the map-side combine collapses each document's
+    word multiset to its distinct words BEFORE the exchange, because a
+    document's words all live in its own input partition — then a final
+    ``groupBy(id)`` over the (much smaller) distinct-word rows. Two
+    exchanges, both carrying pre-reduced rows; no windows, no Python.
+
+    ``explode_outer`` (not ``explode``): plain explode makes the optimizer
+    infer a ``size(split(..)) > 0`` scan filter that re-evaluates the split
+    at the scan (see ngram_jaccard_pairs); NULL/empty-word rows are dropped
+    by the explicit post-filter instead. Documents with no words do not
+    appear in the output.
+    """
+    words = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w").isNotNull() & (F.col("w") != ""))
+    )
+    wc = words.groupBy("id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    out = wc.groupBy("id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max(F.struct("cnt", "w")).alias("_top"),
+    )
+    return out.select(
+        "id",
+        "n_words",
+        "n_distinct_words",
+        F.round(
+            (F.col("n_words") - F.col("n_distinct_words"))
+            / F.col("n_words"),
+            6,
+        ).alias("dup_word_ratio"),
+        F.col("_top.w").alias("top_word"),
+        F.round(F.col("_top.cnt") / F.col("n_words"), 6).alias(
+            "top_word_ratio"
+        ),
+    )

@@ -322,3 +322,35 @@ def test_ivf_topk_recall_and_determinism(spark):
         kk = (r["q_vec_id"], r["neighbor_id"])
         if kk in exact_sims:
             assert r["sim"] == exact_sims[kk]
+
+
+def test_word_repetition_stats(spark):
+    """Hand-computed fixture incl. the deterministic argmax tie-break
+    (highest count, then lexicographically GREATEST word)."""
+    from statefulstreamprocessor_spark.operators.quality import (
+        word_repetition_stats,
+    )
+
+    rows = [
+        (0, "a b a b c"),          # 5 words, 3 distinct; tie a=2,b=2 -> b
+        (1, "x x x x"),            # fully repeated
+        (2, "one two three"),      # no repetition; tie 1s -> 'two' (max)
+        (3, "  MiXeD mixed  "),    # case-folds together
+        (4, ""),                   # no words -> absent from output
+        (5, None),                 # NULL text -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: r.asDict()
+        for r in word_repetition_stats(df, "text", "doc_id").collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0]["n_words"] == 5 and got[0]["n_distinct_words"] == 3
+    assert got[0]["dup_word_ratio"] == 0.4
+    assert (got[0]["top_word"], got[0]["top_word_ratio"]) == ("b", 0.4)
+    assert got[1]["dup_word_ratio"] == 0.75
+    assert (got[1]["top_word"], got[1]["top_word_ratio"]) == ("x", 1.0)
+    assert got[2]["dup_word_ratio"] == 0.0
+    assert got[2]["top_word"] == "two"
+    assert got[3]["n_words"] == 2 and got[3]["n_distinct_words"] == 1
+    assert got[3]["top_word"] == "mixed"

@@ -136,3 +136,75 @@ def test_fused_md5_udf_matches_jvm_md5(spark):
         F.md5(F.encode(html_to_text_udf("html"), "utf-8")).alias("jvm"),
     ).filter(F.col("fused") != F.col("jvm")).count()
     assert bad == 0
+
+
+def test_pii_scrub_cols(spark):
+    from pyspark.sql import functions as F
+
+    from statefulstreamprocessor_spark.functions.textops import pii_scrub_cols
+
+    rows = [
+        (0, "reach me at jane.doe+spam@sub.example.co.uk or bob@x.io today"),
+        (1, "call 555-123-4567 or 555-987-6543 now"),
+        (2, "mixed a@b.com then 123-456-7890 done"),
+        (3, "no pii here at all"),
+        (4, ""),
+        # digits inside an email's host are consumed by the EMAIL pass
+        # first, so they never double-count as a phone
+        (5, "x@555-123-4567mail.com"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    p = pii_scrub_cols(F.col("t"))
+    got = {
+        r["id"]: (r["e"], r["p"], r["s"])
+        for r in df.select(
+            "id",
+            p["n_emails"].alias("e"),
+            p["n_phones"].alias("p"),
+            p["scrubbed"].alias("s"),
+        ).collect()
+    }
+    assert got[0] == (2, 0, "reach me at <EMAIL> or <EMAIL> today")
+    assert got[1] == (0, 2, "call <PHONE> or <PHONE> now")
+    assert got[2] == (1, 1, "mixed <EMAIL> then <PHONE> done")
+    assert got[3] == (0, 0, "no pii here at all")
+    assert got[4] == (0, 0, "")
+    assert got[5] == (1, 0, "<EMAIL>")
+
+
+def test_url_parts_and_normalize(spark):
+    from pyspark.sql import functions as F
+
+    from statefulstreamprocessor_spark.functions.urlops import (
+        normalize_url_col,
+        url_parts_cols,
+    )
+
+    rows = [
+        (0, "https://www.Example.COM/a/b/?utm_source=x&id=7&utm_campaign=y#top"),
+        (1, "HTTP://example.com"),
+        (2, "https://example.com/"),
+        (3, "https://sub.example.com/p?ref=abc"),
+        (4, "https://example.com/p?id=1&ref=abc&x=2"),
+        (5, "https://example.com/p/q/"),
+        (6, "https://example.com/?utm_a=1&utm_b=2"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    p = url_parts_cols(F.col("url"))
+    got = {
+        r["id"]: (r["h"], r["pa"], r["q"], r["n"])
+        for r in df.select(
+            "id",
+            p["host"].alias("h"),
+            p["path"].alias("pa"),
+            p["query"].alias("q"),
+            normalize_url_col(F.col("url")).alias("n"),
+        ).collect()
+    }
+    assert got[0] == ("example.com", "/a/b", "id=7", "https://example.com/a/b?id=7")
+    assert got[1] == ("example.com", "/", "", "https://example.com/")
+    assert got[2] == ("example.com", "/", "", "https://example.com/")
+    assert got[3] == ("sub.example.com", "/p", "", "https://sub.example.com/p")
+    assert got[4] == ("example.com", "/p", "id=1&x=2", "https://example.com/p?id=1&x=2")
+    assert got[5] == ("example.com", "/p/q", "", "https://example.com/p/q")
+    assert got[6] == ("example.com", "/", "", "https://example.com/")
