@@ -552,6 +552,33 @@ def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus vocabulary (term + document frequency): cascaded
+    map-side-combined aggs + per-partition local top-k pre-reduction, so
+    the rank exchange never carries the vocabulary."""
+    from statefulstreamprocessor_spark.operators.vocab import vocab_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    return vocab_topk(docs, "text", "doc_id", k=100)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget training-shard assignment via the distributed prefix
+    sum (two-level scan — no global sort, no single-partition window over
+    the data; identical to SUM() OVER (ORDER BY) by construction)."""
+    from statefulstreamprocessor_spark.functions.textops import token_count_col
+    from statefulstreamprocessor_spark.operators.packing import (
+        pack_by_token_budget,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens")
+    )
+    return pack_by_token_budget(
+        docs, "doc_id", "n_tokens", budget=4096, bucket_width=100
+    )
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (hot-key skew path) — results must be
     identical to the plain GROUP BY oracle."""
@@ -1137,6 +1164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "url_normalize": q_url_normalize,
         "domain_rollup": q_domain_rollup,
+        "vocab_topk": q_vocab_topk,
+        "pack_sequences": q_pack_sequences,
         "windowed_latest_pair": q_windowed_latest_pair,
         "replay_pair_join": q_replay_pair_join,
         "nn_pair_join_streaming": q_nn_pair_join_streaming,
@@ -1798,6 +1827,44 @@ def oracle_sql() -> dict[str, str]:
             FROM s1
         """,
         "url_normalize": _URL_NORMALIZE_ORACLE,
+        "vocab_topk": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS word
+                FROM documents
+            ), fw AS (
+                SELECT doc_id, word FROM words WHERE word <> ''
+            ), vocab AS (
+                SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df
+                FROM fw GROUP BY 1
+            ), ranked AS (
+                SELECT word, tf, df,
+                       row_number() OVER (ORDER BY tf DESC, word ASC) AS rank
+                FROM vocab
+            )
+            SELECT word, tf, df, rank FROM ranked WHERE rank <= 100
+        """,
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS cum_tokens
+                FROM t
+            )
+            SELECT doc_id, n_tokens, cum_tokens,
+                   CAST(floor((cum_tokens - n_tokens) / 4096.0) AS BIGINT)
+                       AS shard_id
+            FROM c
+        """,
         "domain_rollup": f"""
             WITH urls AS ({_URL_NORMALIZE_ORACLE})
             SELECT host, count(*) AS n_pages,

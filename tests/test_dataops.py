@@ -354,3 +354,70 @@ def test_word_repetition_stats(spark):
     assert got[2]["top_word"] == "two"
     assert got[3]["n_words"] == 2 and got[3]["n_distinct_words"] == 1
     assert got[3]["top_word"] == "mixed"
+
+
+def test_global_cumsum_matches_naive_and_is_width_invariant(spark):
+    from statefulstreamprocessor_spark.operators.packing import (
+        global_cumsum,
+        pack_by_token_budget,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(0, 500)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "rid long, v long")
+    want, acc = {}, 0
+    for i, v in rows:
+        acc += v
+        want[i] = acc
+    for width in (1, 7, 100, 10_000):
+        got = {
+            r["rid"]: r["cum"]
+            for r in global_cumsum(df, "rid", "v", bucket_width=width).collect()
+        }
+        assert got == want, f"width={width}"
+    packed = {
+        r["rid"]: r["shard_id"]
+        for r in pack_by_token_budget(
+            df, "rid", "v", budget=2000, bucket_width=64
+        ).collect()
+    }
+    # shard = floor(exclusive-prefix / budget): nondecreasing in rid order,
+    # and each document's start offset falls inside its shard's window
+    prev = 0
+    for i, v in rows:
+        sid = packed[i]
+        assert sid == (want[i] - v) // 2000
+        assert sid >= prev
+        prev = sid
+
+
+def test_vocab_topk_matches_python(spark):
+    from collections import Counter
+
+    from statefulstreamprocessor_spark.operators.vocab import vocab_topk
+
+    rows = [
+        (0, "a b a c"),
+        (1, "b b d"),
+        (2, "A  a\tb"),
+        (3, ""),
+        (4, None),
+    ]
+    tf, dfreq = Counter(), Counter()
+    for _, t in rows:
+        ws = (t or "").lower().split()
+        tf.update(ws)
+        dfreq.update(set(ws))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["word"], r["tf"], r["df"], r["rank"])
+        for r in vocab_topk(df, "text", "doc_id", k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    order = sorted(tf, key=lambda w: (-tf[w], w))[:3]
+    assert got == [
+        (w, tf[w], dfreq[w], i + 1) for i, w in enumerate(order)
+    ]

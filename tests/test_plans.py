@@ -156,3 +156,20 @@ def test_join_then_window_composition(spark, events):
     )
     rows = rollup.collect()
     assert sum(r["n_pairs"] for r in rows) == pairs.count()
+
+
+def test_global_cumsum_has_no_full_data_single_partition(spark):
+    """The distributed prefix sum must never funnel the DATA through one
+    partition: the only SinglePartition exchange allowed is the one over
+    the per-bucket totals (one row per bucket) feeding the offsets window;
+    the data itself takes exactly one hash exchange on the bucket key."""
+    from statefulstreamprocessor_spark.operators.packing import global_cumsum
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.length("text").alias("v")
+    )
+    plan = _plan(global_cumsum(df, "doc_id", "v", bucket_width=100))
+    assert plan.count("SinglePartition") == 1, plan
+    assert "hashpartitioning(__b" in plan, plan
+    # offsets join back in as a broadcast, not a shuffle of the data
+    assert "BroadcastHashJoin" in plan, plan
