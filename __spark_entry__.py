@@ -552,6 +552,71 @@ def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup (`dropDuplicatesWithinWatermark`) — the
+    in-flight form of the corpus dedup stage: exact duplicate copies of
+    every 10th event are planted in the replay input, and the streaming
+    query must drop all of them and nothing else, so the oracle is simply
+    the original events table.
+
+    The duplicates carry the source row's timestamp, and the staged
+    writer's `repartitionByRange(ts)` puts equal timestamps in the same
+    chunk, so every duplicate lands in its original's micro-batch or later
+    while the key's state is still live under the watermark — the drop is
+    deterministic, not racy. State is keyed by event_id and evicted by the
+    watermark (bounded at any corpus size); append mode emits rows
+    immediately (no window to close, no punctuation row needed)."""
+    import os
+    import tempfile
+
+    from statefulstreamprocessor_spark.sources.staging import (
+        write_time_ordered_chunks,
+    )
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    dups = ev.filter(F.col("event_id") % 10 == 0)
+    staged = ev.unionByName(dups)
+    tmp = tempfile.mkdtemp(prefix="ssp_dedup_gate_")
+    in_dir = os.path.join(tmp, "input")
+    write_time_ordered_chunks(staged, in_dir, n_files=3, ts_col="ts")
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp_ntz, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    deduped = (
+        raw.select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+            "value",
+        )
+        .withWatermark("ts", "0 seconds")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out_dir = os.path.join(tmp, "out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(tmp, "checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(out_dir)
+    return res.select(
+        "event_id",
+        _us(F.col("ts").cast("timestamp_ntz")).alias("ts_us"),
+        "event_type",
+        "value",
+    )
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 corpus vocabulary (term + document frequency): cascaded
     map-side-combined aggs + per-partition local top-k pre-reduction, so
@@ -1166,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rollup": q_domain_rollup,
         "vocab_topk": q_vocab_topk,
         "pack_sequences": q_pack_sequences,
+        "streaming_dedup": q_streaming_dedup,
         "windowed_latest_pair": q_windowed_latest_pair,
         "replay_pair_join": q_replay_pair_join,
         "nn_pair_join_streaming": q_nn_pair_join_streaming,
@@ -1844,6 +1910,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM vocab
             )
             SELECT word, tf, df, rank FROM ranked WHERE rank <= 100
+        """,
+        "streaming_dedup": """
+            -- planted duplicates are exact copies, so streaming dedup must
+            -- reproduce the original events table, row for row
+            SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+            FROM events
         """,
         "pack_sequences": """
             WITH t AS (
