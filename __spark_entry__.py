@@ -617,6 +617,27 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (ordered list per doc, exploded).
+
+    The numpy kernel works in uint64 wraparound arithmetic; the oracle
+    recomputes each k-gram hash directly as Σ c_{i+t}·(B⁻ᵗ mod 2⁶⁴) over
+    HUGEINT (every term < 2⁷², sum < 2⁷⁵ — no overflow), then replays the
+    window-min + leftmost-positional-dedup selection with a struct-min
+    window frame. Byte/codepoint parity holds because this corpus is pure
+    ASCII (asserted in the oracle's len == octet_length guard); the
+    general UTF-8 path stays covered by the python-oracle pytest."""
+    from statefulstreamprocessor_spark.functions.textops import (
+        winnow_fingerprints_udf,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    fp = winnow_fingerprints_udf()
+    return docs.select(
+        "doc_id", F.posexplode(fp(F.col("text"))).alias("ord", "fp")
+    ).withColumn("ord", F.col("ord").cast("bigint"))
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 corpus vocabulary (term + document frequency): cascaded
     map-side-combined aggs + per-partition local top-k pre-reduction, so
@@ -1232,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "pack_sequences": q_pack_sequences,
         "streaming_dedup": q_streaming_dedup,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "windowed_latest_pair": q_windowed_latest_pair,
         "replay_pair_join": q_replay_pair_join,
         "nn_pair_join_streaming": q_nn_pair_join_streaming,
@@ -1916,6 +1938,68 @@ def oracle_sql() -> dict[str, str]:
             -- reproduce the original events table, row for row
             SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
             FROM events
+        """,
+        "winnow_fingerprints": """
+            -- recompute the uint64 rolling-hash winnowing in HUGEINT:
+            -- g(i) = sum_t c_{i+t} * (B^-t mod 2^64)  (terms < 2^72), then
+            -- window-min with leftmost tie (struct min) + positional dedup.
+            -- The len = octet_length guard drops (and thereby loudly
+            -- row-count-fails on) any non-ASCII doc, where codepoint math
+            -- would diverge from the kernel's UTF-8 bytes.
+            WITH src AS (
+                SELECT doc_id, text FROM documents
+                WHERE text IS NOT NULL AND len(text) >= 8
+                  AND len(text) = octet_length(encode(text))
+            ), chars AS (
+                SELECT doc_id, unnest(range(len(text))) AS i,
+                       len(text) AS n, text
+                FROM src
+            ), coded AS (
+                SELECT doc_id, i, n,
+                       CAST(unicode(substring(text, CAST(i + 1 AS INT), 1))
+                            AS HUGEINT) AS c
+                FROM chars
+            ), g AS (
+                SELECT doc_id, i, n - 7 AS m,
+                       (c * 1
+                        + lead(c, 1) OVER w * 14886173955864302971
+                        + lead(c, 2) OVER w * 5772919263093090585
+                        + lead(c, 3) OVER w * 11164797169880796163
+                        + lead(c, 4) OVER w * 12758571492279420017
+                        + lead(c, 5) OVER w * 13441252082715354955
+                        + lead(c, 6) OVER w * 17512853380173678601
+                        + lead(c, 7) OVER w * 3985727619402684755
+                       ) % CAST('18446744073709551616' AS HUGEINT) AS gv
+                FROM coded
+                WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+                QUALIFY i <= n - 8
+            ), selA AS (  -- m >= 4: standard windows j = 0 .. m-4
+                SELECT doc_id, i AS j,
+                       min({'g': gv, 'i': i}) OVER (
+                           PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+                FROM g WHERE m >= 4
+                QUALIFY j <= m - 4
+            ), selB AS (  -- 1 <= m < 4: one window over all k-grams
+                SELECT doc_id, 0 AS j, min({'g': gv, 'i': i}) AS sel
+                FROM g WHERE m < 4 GROUP BY doc_id
+            ), sel AS (
+                SELECT * FROM selA UNION ALL SELECT * FROM selB
+            ), kept AS (
+                SELECT doc_id, j, sel,
+                       lag(sel.i) OVER (
+                           PARTITION BY doc_id ORDER BY j) AS prev_pos
+                FROM sel
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY j) - 1 AS BIGINT) AS ord,
+                   CAST(CASE WHEN sel.g >=
+                                  CAST('9223372036854775808' AS HUGEINT)
+                             THEN sel.g
+                                  - CAST('18446744073709551616' AS HUGEINT)
+                             ELSE sel.g END AS BIGINT) AS fp
+            FROM kept WHERE prev_pos IS NULL OR prev_pos != sel.i
         """,
         "pack_sequences": """
             WITH t AS (
