@@ -617,6 +617,93 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful operators chained in ONE streaming query —
+    `dropDuplicatesWithinWatermark` feeding a tumbling windowed
+    aggregation (multi-stateful-operator support, append mode). Planted
+    duplicate copies of every 10th event must be dropped BEFORE the
+    rollup, so the oracle is exactly the batch tumbling aggregation over
+    the original table — a duplicate leaking through would inflate its
+    window's count/sum and hash-fail.
+
+    The punctuation row that closes the final window flows through the
+    dedup (unique id) and the aggregation, and its own window is filtered
+    from the RESULT — filtering it pre-agg would land below the watermark
+    node and stall the final window (Catalyst pushes filters below
+    EventTimeWatermark)."""
+    import datetime
+    import os
+    import tempfile
+
+    from statefulstreamprocessor_spark.sources.staging import (
+        append_flush_file,
+        write_time_ordered_chunks,
+    )
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    dups = ev.filter(F.col("event_id") % 10 == 0)
+    staged = ev.unionByName(dups)
+    tmp = tempfile.mkdtemp(prefix="ssp_dedup_rollup_gate_")
+    in_dir = os.path.join(tmp, "input")
+    idx = write_time_ordered_chunks(staged, in_dir, n_files=3, ts_col="ts")
+    mx = ev.agg(F.max("ts").alias("m")).first()["m"]
+    flush = spark.createDataFrame(
+        [
+            (
+                -1,
+                mx + datetime.timedelta(hours=2),
+                "__punctuation__",
+                0.0,
+            )
+        ],
+        "event_id bigint, ts timestamp_ntz, event_type string, value double",
+    )
+    append_flush_file(flush, in_dir, idx)
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp_ntz, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    agg = (
+        raw.select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+            "value",
+        )
+        .withWatermark("ts", "0 seconds")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    out_dir = os.path.join(tmp, "out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(tmp, "checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(out_dir)
+    return res.filter(F.col("event_type") != "__punctuation__").select(
+        _us(F.col("window.start").cast("timestamp_ntz")).alias("ws_us"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (ordered list per doc, exploded).
 
@@ -646,6 +733,17 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents")
     return vocab_topk(docs, "text", "doc_id", k=100)
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf·idf (round-before-
+    rank, word-ascending tie-break)."""
+    from statefulstreamprocessor_spark.operators.vocab import tfidf_top_terms
+
+    docs = _load(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "text", "doc_id", k=3).withColumnRenamed(
+        "id", "doc_id"
+    )
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1251,8 +1349,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "domain_rollup": q_domain_rollup,
         "vocab_topk": q_vocab_topk,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "pack_sequences": q_pack_sequences,
         "streaming_dedup": q_streaming_dedup,
+        "stream_dedup_rollup": q_stream_dedup_rollup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "windowed_latest_pair": q_windowed_latest_pair,
         "replay_pair_join": q_replay_pair_join,
@@ -1933,11 +2033,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT word, tf, df, rank FROM ranked WHERE rank <= 100
         """,
+        "tfidf_top_terms": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS word
+                FROM documents
+            ), fw AS (
+                SELECT doc_id, word FROM words WHERE word <> ''
+            ), tf AS (
+                SELECT doc_id, word, count(*) AS tf FROM fw GROUP BY 1, 2
+            ), dfreq AS (
+                SELECT word, count(*) AS df FROM tf GROUP BY 1
+            ), n AS (
+                SELECT count(DISTINCT doc_id) AS n FROM documents
+            ), scored AS (
+                SELECT tf.doc_id, tf.word, tf.tf,
+                       round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6)
+                           AS score
+                FROM tf JOIN dfreq USING (word), n
+            ), ranked AS (
+                SELECT doc_id, word, tf, score,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY score DESC, word ASC) AS rank
+                FROM scored
+            )
+            SELECT doc_id, word, tf, score, rank
+            FROM ranked WHERE rank <= 3
+        """,
         "streaming_dedup": """
             -- planted duplicates are exact copies, so streaming dedup must
             -- reproduce the original events table, row for row
             SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
             FROM events
+        """,
+        "stream_dedup_rollup": """
+            -- dedup of exact planted copies reproduces the original table,
+            -- so the chained streaming dedup->rollup must equal the batch
+            -- tumbling aggregation over events
+            SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS ws_us,
+                   event_type, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "winnow_fingerprints": """
             -- recompute the uint64 rolling-hash winnowing in HUGEINT:

@@ -12,11 +12,14 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 
 import duckdb
 
-SF_DIR = "/root/testdata/sf0.01"
+# override with e.g. SSP_ORACLE_SF_DIR=/root/testdata/sf0.1 for a
+# larger-scale cross-check (the driver gate itself runs sf0.01)
+SF_DIR = os.environ.get("SSP_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def canon(v) -> str:

@@ -31,6 +31,56 @@ def _local_topk(order_col: str, tie_col: str, k: int):
     return reduce
 
 
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf.
+
+    ``score = tf(doc, word) · ln(N / df(word))``, rounded to 6 decimals
+    BEFORE ranking (the round-before-rank discipline: ranking on the
+    unrounded double can disagree with the rounded tiebreak order and
+    with other engines' FP evaluation), ties broken by word ascending.
+
+    Shape: the same cascaded pre-reduced aggs as :func:`vocab_topk`
+    produce per-(doc, word) tf and per-word df; the corpus size N and the
+    word→df map join back in — df per word is vocabulary-sized, so the
+    score join shuffles vocabulary rows, not corpus rows; the final
+    per-doc rank window partitions by doc (one exchange of the reduced
+    (doc, word) rows, O(n) running frame).
+    """
+    words = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("word"),
+        )
+        .filter(F.col("word").isNotNull() & (F.col("word") != ""))
+    )
+    tf = words.groupBy("id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("__n")
+    )
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "word",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("__n") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def vocab_topk(df: DataFrame, text_col: str, id_col: str, k: int = 100) -> DataFrame:
     """Top-k corpus vocabulary by term frequency.
 

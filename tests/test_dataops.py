@@ -421,3 +421,35 @@ def test_vocab_topk_matches_python(spark):
     assert got == [
         (w, tf[w], dfreq[w], i + 1) for i, w in enumerate(order)
     ]
+
+
+def test_tfidf_top_terms_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from statefulstreamprocessor_spark.operators.vocab import tfidf_top_terms
+
+    rows = [
+        (0, "apple banana apple cherry"),
+        (1, "banana banana date"),
+        (2, "apple date date date"),
+        (3, "elderberry"),
+    ]
+    tf = {i: Counter((t or "").lower().split()) for i, t in rows}
+    dfreq = Counter(w for c in tf.values() for w in c)
+    n = len(rows)
+    want = {}
+    for i, c in tf.items():
+        scored = sorted(
+            (
+                (-round(cnt * math.log(n / dfreq[w]), 6), w)
+                for w, cnt in c.items()
+            )
+        )[:3]
+        want[i] = [(w, -s) for s, w in scored]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, "text", "doc_id", k=3).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r["id"], r["rank"])):
+        got.setdefault(r["id"], []).append((r["word"], r["score"]))
+    assert got == want
