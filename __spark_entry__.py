@@ -617,6 +617,76 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join → tumbling rollup in streaming mode
+    (SURVEY §2.3 J6, the reference's stream-table enrichment, composed
+    with its dashboard rollup): the event stream inner-joins the static
+    customer dimension (broadcast — stateless per micro-batch, the plan
+    that survives any stream length) and rolls up per (hour, market
+    segment). The punctuation row advances the watermark at the SOURCE
+    node even though its key (-1) never matches the dimension — the
+    watermark is computed before the join — so the final window closes
+    without a sentinel leaking into the result."""
+    import datetime
+    import os
+    import tempfile
+
+    from statefulstreamprocessor_spark.sources.staging import (
+        append_flush_file,
+        write_time_ordered_chunks,
+    )
+
+    ev = _load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    dim = _load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="ssp_enrich_gate_")
+    in_dir = os.path.join(tmp, "input")
+    idx = write_time_ordered_chunks(ev, in_dir, n_files=3, ts_col="ts")
+    mx = ev.agg(F.max("ts").alias("m")).first()["m"]
+    flush = spark.createDataFrame(
+        [(-1, mx + datetime.timedelta(hours=2), 0.0)],
+        "user_id bigint, ts timestamp_ntz, value double",
+    )
+    append_flush_file(flush, in_dir, idx)
+    raw = (
+        spark.readStream.schema("user_id bigint, ts timestamp_ntz, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    agg = (
+        raw.select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+        )
+        .withWatermark("ts", "0 seconds")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    out_dir = os.path.join(tmp, "out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(tmp, "checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(out_dir)
+    return res.select(
+        _us(F.col("window.start").cast("timestamp_ntz")).alias("ws_us"),
+        "c_mktsegment",
+        "n",
+        "sum_value",
+    )
+
+
 def q_stream_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO stateful operators chained in ONE streaming query —
     `dropDuplicatesWithinWatermark` feeding a tumbling windowed
@@ -1352,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "pack_sequences": q_pack_sequences,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_enrich": q_streaming_enrich,
         "stream_dedup_rollup": q_stream_dedup_rollup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "windowed_latest_pair": q_windowed_latest_pair,
@@ -2067,6 +2138,14 @@ def oracle_sql() -> dict[str, str]:
             -- reproduce the original events table, row for row
             SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
             FROM events
+        """,
+        "streaming_enrich": """
+            SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, e.ts)) AS ws_us,
+                   c.c_mktsegment, count(*) AS n,
+                   CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1, 2
         """,
         "stream_dedup_rollup": """
             -- dedup of exact planted copies reproduces the original table,
