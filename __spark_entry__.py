@@ -446,6 +446,52 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule payload operator under the oracle gate: HTML→text
+    extraction (vectorized Arrow UDF, the only form allowed in the hot
+    path) must be byte-identical per document. Three deterministic html
+    wrappings exercise the tag-strip, script-drop and entity-unescape
+    paths, each constructed so its EXPECTED extraction is computable in
+    plain SQL from the source text; compared by md5 + length."""
+    from statefulstreamprocessor_spark.functions.textops import (
+        html_to_text_udf,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    # whitespace-normalized base so the oracle's expected text is exact
+    nt = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    html = (
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit('<div class="a"><p>'), nt, F.lit("</p></div>")),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit("<script>var x = '<p>not text</p>';</script>"),
+                nt,
+                F.lit("<style>p { color: red }</style>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<b>"),
+                F.replace(nt, F.lit(" "), F.lit(" &amp; ")),
+                F.lit("</b>"),
+            )
+        )
+    )
+    out = docs.select(
+        "doc_id", html_to_text_udf(F.encode(html, "utf-8")).alias("extracted")
+    )
+    return out.select(
+        "doc_id",
+        F.length("extracted").alias("n_chars"),
+        F.md5(F.encode(F.col("extracted"), "utf-8")).alias("text_md5"),
+    )
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style word-repetition quality stats per document: dup-word
     ratio + most-frequent-word share, argmax folded into the aggregation
@@ -1414,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "salted_agg": q_salted_agg,
         "stats_summary": q_stats_summary,
+        "html_extract": q_html_extract,
         "doc_repetition": q_doc_repetition,
         "pii_scrub": q_pii_scrub,
         "url_normalize": q_url_normalize,
@@ -2030,6 +2077,24 @@ def oracle_sql() -> dict[str, str]:
                    round(min(value), 6) AS vmin,
                    round(max(value), 6) AS vmax
             FROM events GROUP BY 1
+        """,
+        "html_extract": """
+            -- expected extraction per construction branch: tag-strip and
+            -- script/style-drop recover the normalized text verbatim;
+            -- the entity branch unescapes ' &amp; ' back to ' & '
+            WITH nt AS (
+                SELECT doc_id,
+                       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(CASE WHEN doc_id % 3 = 2
+                            THEN replace(t, ' ', ' & ') ELSE t END)
+                       AS n_chars,
+                   md5(CASE WHEN doc_id % 3 = 2
+                            THEN replace(t, ' ', ' & ') ELSE t END)
+                       AS text_md5
+            FROM nt
         """,
         "doc_repetition": """
             WITH words AS (
