@@ -295,3 +295,92 @@ def test_state_ttl_bounds_dead_series(spark, tmp_path):
     want = _expected_closure(spark, s.assign(text=""))
     assert got <= want
     assert len(got) > 0
+
+
+def test_chained_dedup_rollup_resume(spark, tmp_path):
+    """Kill-and-resume for TWO chained stateful operators in one streaming
+    query (dropDuplicatesWithinWatermark -> tumbling agg): process half the
+    chunks, resume the rest from the same checkpoint, and the combined
+    append output must equal the batch dedup+rollup; a third run from the
+    same checkpoint emits 0 new rows (exactly-once)."""
+    import numpy as np
+
+    n = 2000
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": base + pd.to_timedelta((np.arange(n) * 9851) % (6 * 3600), unit="s"),
+            "etype": np.where(np.arange(n) % 3 == 0, "a", "b"),
+            "value": (np.arange(n) % 100) / 10.0,
+        }
+    )
+    pdf = pdf.sort_values("ts", kind="mergesort").reset_index(drop=True)
+    step = (len(pdf) + 3) // 4
+    chunks = [pdf.iloc[i * step:(i + 1) * step] for i in range(4)]
+    in_dir = tmp_path / "input"
+    os.makedirs(in_dir)
+
+    def write_chunk(i, frame):
+        p = str(in_dir / f"part-{i:03d}.parquet")
+        # duplicate every 10th event INTO ITS OWN chunk (same ts -> same
+        # micro-batch or later while state is live)
+        dups = frame[frame["event_id"] % 10 == 0]
+        pd.concat([frame, dups]).to_parquet(p, coerce_timestamps="us")
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def run():
+        raw = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp_ntz, etype string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        agg = (
+            raw.select(
+                "event_id", F.col("ts").cast("timestamp").alias("ts"),
+                "etype", "value",
+            )
+            .withWatermark("ts", "0 seconds")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .groupBy(F.window("ts", "1 hour"), "etype")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 6).alias("sv"))
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(str(tmp_path / "out"))
+
+    for i in (0, 1):
+        write_chunk(i, chunks[i])
+    run()
+    for i in (2, 3):
+        write_chunk(i, chunks[i])
+    punct = pd.DataFrame(
+        {"event_id": [-1], "ts": [pdf["ts"].max() + pd.Timedelta(hours=2)],
+         "etype": ["__p__"], "value": [0.0]}
+    )
+    p = str(in_dir / "part-099.parquet")
+    punct.to_parquet(p, coerce_timestamps="us")
+    os.utime(p, (1_700_000_100, 1_700_000_100))
+    out2 = run()
+    got = {
+        (r["window"]["start"].isoformat(), r["etype"]): (r["cnt"], r["sv"])
+    for r in out2.filter(F.col("etype") != "__p__").collect()}
+    # batch expectation over the ORIGINAL rows (dups dropped)
+    exp = pdf.assign(w=pdf["ts"].dt.floor("h"))
+    want = {
+        (w.isoformat(), e): (len(g), round(float(g["value"].sum()), 6))
+        for (w, e), g in exp.groupby(["w", "etype"])
+    }
+    assert got == want
+    n_rows = out2.count()
+    out3 = run()
+    assert out3.count() == n_rows, "third run from checkpoint emitted rows"
