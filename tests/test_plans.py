@@ -173,3 +173,44 @@ def test_global_cumsum_has_no_full_data_single_partition(spark):
     assert "hashpartitioning(__b" in plan, plan
     # offsets join back in as a broadcast, not a shuffle of the data
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_doc_repetition_plan_two_prereduced_exchanges(spark):
+    """The repetition stats must stay two map-side-combinable exchanges
+    with the word filter ABOVE the Generate (explode) — never a pushed
+    size()>0 filter re-evaluating the split at the scan, never a window."""
+    from statefulstreamprocessor_spark.operators.quality import (
+        word_repetition_stats,
+    )
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(word_repetition_stats(df, "text", "doc_id"))
+    import re as _re
+
+    exchanges = _re.findall(r"^\(\d+\) Exchange", plan, _re.M)
+    assert len(exchanges) == 2, plan
+    assert "SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_vocab_topk_rank_exchange_is_prereduced(spark):
+    """vocab_topk's only SinglePartition exchange must sit ABOVE the
+    MapInPandas local top-k, so the global rank never sees more than
+    partitions x k rows."""
+    from statefulstreamprocessor_spark.operators.vocab import vocab_topk
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(vocab_topk(df, "text", "doc_id", k=10))
+    # Spark plans the rank-limit as TakeOrderedAndProject (per-partition
+    # top-N + merge) — no SinglePartition exchange of the vocabulary at
+    # all; the MapInPandas local top-k must feed it from below
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    import re as _re
+
+    map_ids = [int(m) for m in _re.findall(r"^\((\d+)\) MapInPandas", plan, _re.M)]
+    top_ids = [
+        int(m)
+        for m in _re.findall(r"^\((\d+)\) TakeOrderedAndProject", plan, _re.M)
+    ]
+    assert map_ids and top_ids and min(map_ids) < min(top_ids), plan
