@@ -208,3 +208,117 @@ def test_url_parts_and_normalize(spark):
     assert got[4] == ("example.com", "/p", "id=1&x=2", "https://example.com/p?id=1&x=2")
     assert got[5] == ("example.com", "/p/q", "", "https://example.com/p/q")
     assert got[6] == ("example.com", "/", "", "https://example.com/")
+
+
+def test_url_parts_randomized_vs_python_predictor(spark):
+    """200 seeded-random urls (scheme case, www, ports, empty/deep paths,
+    trailing slashes, utm/ref params in any position, fragments) checked
+    against an independent pure-python predictor built from the SAME
+    component values (not the same regexes) — catches any divergence
+    between the regex pipeline and the intended semantics."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from statefulstreamprocessor_spark.functions.urlops import (
+        normalize_url_col,
+        url_parts_cols,
+    )
+
+    rng = random.Random(42)
+    rows, want = [], {}
+    for i in range(200):
+        scheme = rng.choice(["http", "https", "HTTP", "HtTpS"])
+        www = rng.random() < 0.3
+        host = rng.choice(["Example.COM", "sub.site.org", "a-b.net:8080"])
+        segs = [rng.choice(["p", "q2", "x-y"]) for _ in range(rng.randrange(0, 3))]
+        trailing = rng.random() < 0.3 and segs
+        params = []
+        for _ in range(rng.randrange(0, 4)):
+            kind = rng.randrange(3)
+            if kind == 0:
+                params.append(f"utm_{rng.choice(['source', 'x'])}={rng.randrange(99)}")
+            elif kind == 1:
+                params.append(f"ref=abc{rng.randrange(9)}")
+            else:
+                params.append(f"k{rng.randrange(5)}=v{rng.randrange(9)}")
+        frag = rng.random() < 0.3
+        url = f"{scheme}://{'www.' if www else ''}{host}"
+        if segs:
+            url += "/" + "/".join(segs) + ("/" if trailing else "")
+        if params:
+            url += "?" + "&".join(params)
+        if frag:
+            url += "#sec"
+        rows.append((i, url))
+        # independent predictor from the components
+        p_host = host.lower()
+        p_path = "/" + "/".join(segs) if segs else "/"
+        kept = [p for p in params if not (p.startswith("utm_") or p.startswith("ref="))]
+        p_query = "&".join(kept)
+        want[i] = (
+            p_host,
+            p_path,
+            p_query,
+            f"https://{p_host}{p_path}" + (f"?{p_query}" if p_query else ""),
+        )
+    df = spark.createDataFrame(rows, "id long, url string")
+    p = url_parts_cols(F.col("url"))
+    got = {
+        r["id"]: (r["h"], r["pa"], r["q"], r["n"])
+        for r in df.select(
+            "id",
+            p["host"].alias("h"),
+            p["path"].alias("pa"),
+            p["query"].alias("q"),
+            normalize_url_col(F.col("url")).alias("n"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pii_scrub_randomized_vs_python(spark):
+    """Seeded-random text with planted emails/phones at random positions;
+    counts and redacted text must match an independent python re pass
+    (same patterns, python engine)."""
+    import random
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from statefulstreamprocessor_spark.functions.textops import (
+        PII_EMAIL_PATTERN,
+        PII_PHONE_PATTERN,
+        pii_scrub_cols,
+    )
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "x9", "z.z"]
+    rows = []
+    for i in range(150):
+        toks = [rng.choice(words) for _ in range(rng.randrange(2, 10))]
+        for _ in range(rng.randrange(0, 3)):
+            kind = rng.randrange(2)
+            pos = rng.randrange(len(toks) + 1)
+            if kind == 0:
+                toks.insert(pos, f"u{rng.randrange(99)}@ex{rng.randrange(9)}.com")
+            else:
+                toks.insert(pos, f"{rng.randrange(100, 999)}-{rng.randrange(100, 999)}-{rng.randrange(1000, 9999)}")
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "id long, t string")
+    p = pii_scrub_cols(F.col("t"))
+    got = {
+        r["id"]: (r["e"], r["p"], r["s"])
+        for r in df.select(
+            "id",
+            p["n_emails"].alias("e"),
+            p["n_phones"].alias("p"),
+            p["scrubbed"].alias("s"),
+        ).collect()
+    }
+    for i, t in rows:
+        ne = len(_re.findall(PII_EMAIL_PATTERN, t))
+        t2 = _re.sub(PII_EMAIL_PATTERN, "<EMAIL>", t)
+        np_ = len(_re.findall(PII_PHONE_PATTERN, t2))
+        t3 = _re.sub(PII_PHONE_PATTERN, "<PHONE>", t2)
+        assert got[i] == (ne, np_, t3), (i, t)
