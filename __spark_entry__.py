@@ -492,6 +492,77 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link extraction — the crawl-graph edge builder: hrefs pulled from
+    the page html with `regexp_extract_all` (JVM-side, identical RE2/Java
+    match set on this anchor pattern), exploded to one edge per link, and
+    each target CANONICALIZED with the urlops pipeline so the graph keys
+    on normalized urls. Links are planted deterministically from doc_id
+    (each doc links to 0-2 other docs and possibly one tracked external)."""
+    from statefulstreamprocessor_spark.functions.urlops import (
+        normalize_url_col,
+        url_parts_cols,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def target(n):
+        return F.concat(
+            F.lit('<a href="https://site'),
+            (n % 10).cast("string"),
+            F.lit(".example.org/d/"),
+            n.cast("string"),
+            F.lit('">t</a>'),
+        )
+
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(did % 2 == 0, target(did * 7 + 1)).otherwise(F.lit("")),
+        F.when(did % 3 == 0, target(did * 11 + 2)).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit('<a href="HTTP://WWW.Ext.COM/x/'),
+                did.cast("string"),
+                F.lit('/?utm_source=crawl&page='),
+                did.cast("string"),
+                F.lit('#f">e</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    edges = (
+        docs.select(
+            "doc_id",
+            F.explode_outer(
+                F.regexp_extract_all(html, F.lit('href="([^"]*)"'), 1)
+            ).alias("href"),
+        )
+        .filter(F.col("href").isNotNull())
+    )
+    p = url_parts_cols(F.col("href"))
+    return edges.select(
+        F.col("doc_id").alias("src"),
+        p["host"].alias("dst_host"),
+        normalize_url_col(F.col("href")).alias("dst_url"),
+    )
+
+
+def q_link_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-graph degree rollup over canonical link targets: in-degree
+    per destination host + distinct source pages (the host-level link
+    graph every crawl-frontier/pagerank-ish pipeline starts from)."""
+    edges = q_link_extract(spark, sf_dir)
+    return edges.groupBy("dst_host").agg(
+        F.count(F.lit(1)).alias("in_edges"),
+        F.countDistinct("src").alias("n_src_pages"),
+        F.countDistinct("dst_url").alias("n_dst_urls"),
+    )
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style word-repetition quality stats per document: dup-word
     ratio + most-frequent-word share, argmax folded into the aggregation
@@ -1461,6 +1532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "stats_summary": q_stats_summary,
         "html_extract": q_html_extract,
+        "link_extract": q_link_extract,
+        "link_graph_degree": q_link_graph_degree,
         "doc_repetition": q_doc_repetition,
         "pii_scrub": q_pii_scrub,
         "url_normalize": q_url_normalize,
@@ -1532,6 +1605,62 @@ _URL_NORMALIZE_ORACLE = """
     SELECT doc_id, host, path, query,
            'https://' || host || path
            || CASE WHEN query = '' THEN '' ELSE '?' || query END AS url_norm
+    FROM norm
+"""
+
+# link-extraction oracle: same planted anchors, same href pattern, and the
+# SAME normalization regexes as _URL_NORMALIZE_ORACLE applied to each link
+# target ("\1" is RE2's spelling of Java's "$1" — patterns identical)
+_LINK_EXTRACT_ORACLE = """
+    WITH seeded AS (
+        SELECT doc_id,
+               '<html><body><p>' || text || '</p>'
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '<a href="https://site' || ((doc_id*7+1) % 10)
+                            || '.example.org/d/' || (doc_id*7+1) || '">t</a>'
+                       ELSE '' END
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '<a href="https://site' || ((doc_id*11+2) % 10)
+                            || '.example.org/d/' || (doc_id*11+2) || '">t</a>'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN '<a href="HTTP://WWW.Ext.COM/x/' || doc_id
+                            || '/?utm_source=crawl&page=' || doc_id
+                            || '#f">e</a>'
+                       ELSE '' END
+               || '</body></html>' AS html
+        FROM documents
+    ), edges AS (
+        SELECT doc_id AS src,
+               unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS url
+        FROM seeded
+    ), parts AS (
+        SELECT src, url,
+               regexp_replace(
+                   lower(regexp_extract(
+                       url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                   '^www\\.', '') AS host,
+               regexp_extract(
+                   url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1
+               ) AS raw_path,
+               regexp_extract(url, '\\?([^#]*)', 1) AS raw_q
+        FROM edges
+    ), norm AS (
+        SELECT src, host,
+               CASE WHEN raw_path = '' THEN '/'
+                    WHEN raw_path = '/' THEN '/'
+                    ELSE regexp_replace(raw_path, '/$', '') END AS path,
+               regexp_replace(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(raw_q,
+                           '(^|&)(utm_[a-z]+|ref)=[^&]*', '\\1', 'g'),
+                       '&&+', '&', 'g'),
+                   '&$', ''), '^&', '') AS query
+        FROM parts
+    )
+    SELECT src, host AS dst_host,
+           'https://' || host || path
+           || CASE WHEN query = '' THEN '' ELSE '?' || query END AS dst_url
     FROM norm
 """
 
@@ -2151,6 +2280,14 @@ def oracle_sql() -> dict[str, str]:
             FROM s1
         """,
         "url_normalize": _URL_NORMALIZE_ORACLE,
+        "link_extract": _LINK_EXTRACT_ORACLE,
+        "link_graph_degree": f"""
+            WITH edges AS ({_LINK_EXTRACT_ORACLE})
+            SELECT dst_host, count(*) AS in_edges,
+                   count(DISTINCT src) AS n_src_pages,
+                   count(DISTINCT dst_url) AS n_dst_urls
+            FROM edges GROUP BY 1
+        """,
         "vocab_topk": """
             WITH words AS (
                 SELECT doc_id,
