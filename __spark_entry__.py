@@ -950,6 +950,37 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resample with forward fill (the dashboard-grid
+    reshape downstream of the reference's join): grid slots explode from
+    per-series BOUNDS (never from data), one exchange co-locates grid and
+    per-slot latest observations, running last(ignorenulls) fills gaps."""
+    from statefulstreamprocessor_spark.operators.resample import (
+        resample_ffill,
+    )
+
+    ev = _load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    out = resample_ffill(ev, "user_id", "ts", "value", step_seconds=3600)
+    return out.select(
+        "key", "slot_ts", F.round("value", 6).alias("value"), "n_obs"
+    )
+
+
+def q_series_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series first derivative Δv/Δt between consecutive click
+    observations (event-time order, value tie-break)."""
+    from statefulstreamprocessor_spark.operators.resample import (
+        series_derivative,
+    )
+
+    ev = _load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    return series_derivative(ev, "user_id", "ts", "value")
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (hot-key skew path) — results must be
     identical to the plain GROUP BY oracle."""
@@ -1540,6 +1571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rollup": q_domain_rollup,
         "vocab_topk": q_vocab_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "resample_ffill": q_resample_ffill,
+        "series_derivative": q_series_derivative,
         "pack_sequences": q_pack_sequences,
         "streaming_dedup": q_streaming_dedup,
         "streaming_enrich": q_streaming_enrich,
@@ -2340,6 +2373,54 @@ def oracle_sql() -> dict[str, str]:
             -- reproduce the original events table, row for row
             SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
             FROM events
+        """,
+        "resample_ffill": """
+            WITH obs AS (
+                SELECT user_id AS key,
+                       (epoch_us(ts) // 1000000) AS ts_s, value AS v
+                FROM events WHERE event_type = 'click'
+            ), slotted AS (
+                SELECT key, (ts_s // 3600) * 3600 AS slot_ts, ts_s, v
+                FROM obs
+            ), per_slot AS (
+                SELECT key, slot_ts,
+                       max({'t': ts_s, 'v': v}) AS last_obs,
+                       count(*) AS n_obs
+                FROM slotted GROUP BY 1, 2
+            ), bounds AS (
+                SELECT key, min(slot_ts) AS lo, max(slot_ts) AS hi
+                FROM slotted GROUP BY 1
+            ), grid AS (
+                SELECT key, unnest(range(lo, hi + 3600, 3600)) AS slot_ts
+                FROM bounds
+            ), joined AS (
+                SELECT g.key, g.slot_ts, p.last_obs.v AS sv,
+                       coalesce(p.n_obs, 0) AS n_obs
+                FROM grid g LEFT JOIN per_slot p
+                  ON g.key = p.key AND g.slot_ts = p.slot_ts
+            )
+            SELECT key, slot_ts,
+                   round(last_value(sv IGNORE NULLS) OVER (
+                       PARTITION BY key ORDER BY slot_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 6) AS value,
+                   n_obs
+            FROM joined
+        """,
+        "series_derivative": """
+            WITH obs AS (
+                SELECT user_id AS key,
+                       (epoch_us(ts) // 1000000) AS ts_s, value AS v
+                FROM events WHERE event_type = 'click'
+            ), lagged AS (
+                SELECT key, ts_s, v,
+                       lag(ts_s) OVER w AS p_ts, lag(v) OVER w AS p_v
+                FROM obs WINDOW w AS (PARTITION BY key ORDER BY ts_s, v)
+            )
+            -- + 0 collapses IEEE negative zero, as in the Spark operator
+            SELECT key, ts_s,
+                   round((v - p_v) / (ts_s - p_ts), 6) + 0 AS dv_dt
+            FROM lagged WHERE p_ts IS NOT NULL AND ts_s > p_ts
         """,
         "streaming_enrich": """
             SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, e.ts)) AS ws_us,

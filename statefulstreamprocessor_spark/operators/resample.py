@@ -1,0 +1,126 @@
+"""Time-series resampling operators: regular-grid gap-fill + derivative.
+
+The reference is a sensor time-series engine (irregular per-quantity
+observations, `05_LocalStreamBuffer/local_stream_buffer.py:33-101`); the
+two standard reshapes its consumers need downstream of the join are
+(a) resampling onto a regular grid with forward fill — what the Grafana
+dashboards the reference feeds (README.md Demo section) do implicitly —
+and (b) the first derivative (rate of change) per series.
+
+Both are pure Catalyst: a `sequence()` explode builds the grid (one row
+per slot, generated map-side from each series' bounds — no driver work),
+one hash exchange on the series key co-locates grid and observations,
+and O(n) running window frames do the fill. No Python, no self-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Resample each series onto a regular ``step_seconds`` grid with
+    forward fill.
+
+    Grid slots run from each series' first observation (floored to the
+    step) to its last; every slot carries the latest observation at or
+    before the slot end (so the first slot is never NULL). Output:
+    ``key`` | ``slot_ts`` (epoch seconds, bigint) | ``value`` |
+    ``n_obs`` (observations inside the slot, 0 for gap-filled rows).
+
+    Shape: per-series bounds come from one pre-reduced aggregation; the
+    grid explodes map-side from the 2-column bounds rows (never from the
+    data); slot assignment of observations is a column expression; grid
+    and per-slot aggregates meet in ONE hash exchange on (key, slot) via
+    a right-grouped join, and the forward fill is a running
+    ``last(ignorenulls)`` frame — O(n) per series, no point self-joins.
+    """
+    step = F.lit(step_seconds)
+    key, ts, val = F.col(key_col), F.col(ts_col), F.col(value_col)
+    obs = df.select(
+        key.alias("key"),
+        (F.floor(_epoch(ts) / step) * step).cast("bigint").alias("slot_ts"),
+        _epoch(ts).alias("ts_s"),
+        val.alias("v"),
+    )
+    # latest observation per slot (by time, ties by value for determinism)
+    per_slot = obs.groupBy("key", "slot_ts").agg(
+        F.max(F.struct(F.col("ts_s"), F.col("v"))).alias("last_obs"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    bounds = obs.groupBy("key").agg(
+        F.min("slot_ts").alias("lo"), F.max("slot_ts").alias("hi")
+    )
+    grid = bounds.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), step.cast("bigint"))
+        ).alias("slot_ts"),
+    )
+    joined = grid.join(per_slot, ["key", "slot_ts"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("slot_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "key",
+        "slot_ts",
+        F.last(F.col("last_obs.v"), ignorenulls=True).over(w).alias("value"),
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+    )
+
+
+def series_derivative(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """First derivative per series: Δvalue / Δseconds against the previous
+    observation (event-time order, ties broken by value — a total order).
+    The first observation of each series has no predecessor and is
+    dropped. One exchange on the key, O(n) lag frames."""
+    w = Window.partitionBy("key").orderBy("ts_s", "v")
+    obs = df.select(
+        F.col(key_col).alias("key"),
+        _epoch(F.col(ts_col)).alias("ts_s"),
+        F.col(value_col).alias("v"),
+    )
+    out = obs.select(
+        "key",
+        "ts_s",
+        "v",
+        F.lag("ts_s").over(w).alias("p_ts"),
+        F.lag("v").over(w).alias("p_v"),
+    ).filter(F.col("p_ts").isNotNull() & (F.col("ts_s") > F.col("p_ts")))
+    return out.select(
+        "key",
+        "ts_s",
+        # + 0.0 collapses IEEE negative zero (round can yield -0.0, and
+        # engines disagree on rendering it)
+        (
+            F.round(
+                (F.col("v") - F.col("p_v"))
+                / (F.col("ts_s") - F.col("p_ts")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("dv_dt"),
+    )
+
+
+def _epoch(ts) -> F.Column:
+    """TIMESTAMP_NTZ → epoch seconds (bigint), session-timezone-proof
+    (mirrors __spark_entry__._us at second granularity)."""
+    return (
+        F.timestamp_diff(
+            "SECOND",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            ts,
+        )
+    ).cast("bigint")

@@ -453,3 +453,45 @@ def test_tfidf_top_terms_matches_python(spark):
     for r in sorted(out, key=lambda r: (r["id"], r["rank"])):
         got.setdefault(r["id"], []).append((r["word"], r["score"]))
     assert got == want
+
+
+def test_resample_ffill_and_derivative(spark):
+    import datetime
+
+    from statefulstreamprocessor_spark.operators.resample import (
+        resample_ffill,
+        series_derivative,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(mins):
+        return t0 + datetime.timedelta(minutes=mins)
+
+    rows = [
+        ("a", at(1), 10.0),   # slot 0
+        ("a", at(7), 20.0),   # slot 0 (later -> wins slot 0)
+        ("a", at(31), 30.0),  # slot 30; slots 10/20 gap-filled with 20.0
+        ("b", at(0), 5.0),    # single-observation series
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp_ntz, v double")
+    out = {
+        (r["key"], r["slot_ts"]): (r["value"], r["n_obs"])
+        for r in resample_ffill(df, "k", "ts", "v", step_seconds=600).collect()
+    }
+    base = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp())
+    assert out == {
+        ("a", base): (20.0, 2),
+        ("a", base + 600): (20.0, 0),
+        ("a", base + 1200): (20.0, 0),
+        ("a", base + 1800): (30.0, 1),
+        ("b", base): (5.0, 1),
+    }
+    der = {
+        (r["key"], r["ts_s"]): r["dv_dt"]
+        for r in series_derivative(df, "k", "ts", "v").collect()
+    }
+    assert der == {
+        ("a", base + 7 * 60): round(10.0 / 360, 6),
+        ("a", base + 31 * 60): round(10.0 / 1440, 6),
+    }
