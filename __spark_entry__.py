@@ -950,6 +950,47 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern match as operator composition: the classic 3-step
+    funnel (view → click → purchase, each step within 24 h) is two chained
+    backward as-of joins — purchase attributes to its latest click, that
+    click to its latest view. Two exchanges total (one per as-of), O(n)
+    window passes, no interval self-joins."""
+    from statefulstreamprocessor_spark.operators.asof import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+
+    def side(t):
+        return ev.filter(F.col("event_type") == t).select(
+            "user_id", "ts", "event_id"
+        )
+
+    s1 = asof_join(
+        side("purchase"), side("click"), "user_id", "ts",
+        direction="backward", tolerance=86400.0, right_prefix="c_",
+    ).filter(F.col("c_ts").isNotNull())
+    left2 = s1.select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.col("c_ts").alias("ts"),
+        F.col("c_event_id").alias("c_id"),
+    )
+    s2 = asof_join(
+        left2, side("view"), "user_id", "ts",
+        direction="backward", tolerance=86400.0, right_prefix="v_",
+    ).filter(F.col("v_ts").isNotNull())
+    return s2.select(
+        "user_id",
+        _us("p_ts").alias("p_ts_us"),
+        "p_id",
+        _us("ts").alias("c_ts_us"),
+        "c_id",
+        _us("v_ts").alias("v_ts_us"),
+        F.col("v_event_id").alias("v_id"),
+    )
+
+
 def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user hourly resample with forward fill (the dashboard-grid
     reshape downstream of the reference's join): grid slots explode from
@@ -1571,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rollup": q_domain_rollup,
         "vocab_topk": q_vocab_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "funnel_3step": q_funnel_3step,
         "resample_ffill": q_resample_ffill,
         "series_derivative": q_series_derivative,
         "pack_sequences": q_pack_sequences,
@@ -2373,6 +2415,55 @@ def oracle_sql() -> dict[str, str]:
             -- reproduce the original events table, row for row
             SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
             FROM events
+        """,
+        "funnel_3step": """
+            WITH s1m AS (
+                SELECT user_id, ts, 0 AS side, event_id AS c_id,
+                       NULL::BIGINT AS p_id
+                FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT user_id, ts, 1, NULL::BIGINT, event_id
+                FROM events WHERE event_type = 'purchase'
+            ), s1a AS (
+                -- asc traversal, right (side 0) first at equal ts:
+                -- click.ts <= purchase.ts inclusive (operators/asof.py)
+                SELECT user_id, ts, side, p_id,
+                    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+                        OVER w AS c_ts,
+                    last_value(CASE WHEN side = 0 THEN c_id END IGNORE NULLS)
+                        OVER w AS c_id
+                FROM s1m
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, side ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ), s1 AS (
+                SELECT user_id, ts AS p_ts, p_id, c_ts, c_id
+                FROM s1a
+                WHERE side = 1 AND c_ts IS NOT NULL
+                  AND epoch_us(ts) - epoch_us(c_ts) <= 86400000000
+            ), s2m AS (
+                SELECT user_id, ts, 0 AS side, event_id AS v_id,
+                       NULL::BIGINT AS p_id, NULL::BIGINT AS c_id,
+                       NULL::TIMESTAMP AS p_ts
+                FROM events WHERE event_type = 'view'
+                UNION ALL
+                SELECT user_id, c_ts, 1, NULL::BIGINT, p_id, c_id, p_ts
+                FROM s1
+            ), s2a AS (
+                SELECT user_id, ts, side, p_id, c_id, p_ts,
+                    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+                        OVER w AS v_ts,
+                    last_value(CASE WHEN side = 0 THEN v_id END IGNORE NULLS)
+                        OVER w AS v_id
+                FROM s2m
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, side ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            )
+            SELECT user_id, epoch_us(p_ts) AS p_ts_us, p_id,
+                   epoch_us(ts) AS c_ts_us, c_id,
+                   epoch_us(v_ts) AS v_ts_us, v_id
+            FROM s2a
+            WHERE side = 1 AND v_ts IS NOT NULL
+              AND epoch_us(ts) - epoch_us(v_ts) <= 86400000000
         """,
         "resample_ffill": """
             WITH obs AS (
