@@ -991,6 +991,18 @@ def q_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_series_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares value trend with EXACT integer accumulation
+    (decimal38/HUGEINT sums; one double division at the end) — engine- and
+    partition-order-independent where regr_slope-style FP sums are not."""
+    from statefulstreamprocessor_spark.operators.stats import group_trend
+
+    ev = _load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    return group_trend(ev, "user_id", "ts", "value")
+
+
 def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user hourly resample with forward fill (the dashboard-grid
     reshape downstream of the reference's join): grid slots explode from
@@ -1613,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
         "funnel_3step": q_funnel_3step,
+        "series_trend": q_series_trend,
         "resample_ffill": q_resample_ffill,
         "series_derivative": q_series_derivative,
         "pack_sequences": q_pack_sequences,
@@ -2464,6 +2477,28 @@ def oracle_sql() -> dict[str, str]:
             FROM s2a
             WHERE side = 1 AND v_ts IS NOT NULL
               AND epoch_us(ts) - epoch_us(v_ts) <= 86400000000
+        """,
+        "series_trend": """
+            WITH obs AS (
+                SELECT user_id AS key, (epoch_us(ts) // 1000000) AS x0,
+                       CAST(round(value * 1e6) AS BIGINT) AS yi
+                FROM events WHERE event_type = 'click'
+            ), centered AS (
+                SELECT key, x0 - min(x0) OVER (PARTITION BY key) AS xs, yi
+                FROM obs
+            ), agg AS (
+                SELECT key, count(*) AS n,
+                       sum(CAST(xs AS HUGEINT)) AS sx,
+                       sum(CAST(yi AS HUGEINT)) AS sy,
+                       sum(CAST(xs AS HUGEINT) * yi) AS sxy,
+                       sum(CAST(xs AS HUGEINT) * xs) AS sxx
+                FROM centered GROUP BY 1
+            )
+            SELECT key, n,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE) / 1e6, 6) + 0
+                       AS slope
+            FROM agg WHERE n * sxx - sx * sx > 0
         """,
         "resample_ffill": """
             WITH obs AS (

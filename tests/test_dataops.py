@@ -495,3 +495,35 @@ def test_resample_ffill_and_derivative(spark):
         ("a", base + 7 * 60): round(10.0 / 360, 6),
         ("a", base + 31 * 60): round(10.0 / 1440, 6),
     }
+
+
+def test_group_trend_matches_numpy_lstsq(spark):
+    import datetime
+
+    import numpy as np
+
+    from statefulstreamprocessor_spark.operators.stats import group_trend
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rng = np.random.default_rng(5)
+    rows = []
+    series = {}
+    for k in ("a", "b", "c"):
+        xs = np.sort(rng.integers(0, 100_000, size=40))
+        ys = np.round(0.001 * xs * (1 if k != "b" else -1)
+                      + rng.normal(0, 5, size=40), 2)
+        series[k] = (xs, ys)
+        rows += [
+            (k, t0 + datetime.timedelta(seconds=int(x)), float(y))
+            for x, y in zip(xs, ys)
+        ]
+    # degenerate group: all observations at one instant -> dropped
+    rows += [("z", t0, 1.0), ("z", t0, 2.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp_ntz, v double")
+    got = {r["key"]: (r["n"], r["slope"]) for r in group_trend(df, "k", "ts", "v").collect()}
+    assert set(got) == {"a", "b", "c"}
+    for k, (xs, ys) in series.items():
+        n, slope = got[k]
+        assert n == 40
+        want = np.polyfit(xs - xs.min(), np.round(ys * 1e6) / 1e6, 1)[0]
+        assert abs(slope - want) < 1e-6, (k, slope, want)
