@@ -950,6 +950,28 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level sessionization (the primitive under the session-window
+    aggregate): per user, a new session starts after a >30 min gap;
+    session index = running count of gap breaks (lag + cumulative sum,
+    one exchange, O(n) frames, total order via (ts, event_id))."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.timestamp_diff("MICROSECOND", F.lag("ts").over(wo), F.col("ts"))
+    new_s = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    return ev.select(
+        "user_id",
+        _us("ts").alias("ts_us"),
+        "event_id",
+        (F.sum(new_s).over(wc) - 1).alias("session_idx"),
+    )
+
+
 def q_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP pattern match as operator composition: the classic 3-step
     funnel (view → click → purchase, each step within 24 h) is two chained
@@ -1624,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rollup": q_domain_rollup,
         "vocab_topk": q_vocab_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "sessionize": q_sessionize,
         "funnel_3step": q_funnel_3step,
         "series_trend": q_series_trend,
         "resample_ffill": q_resample_ffill,
@@ -2428,6 +2451,23 @@ def oracle_sql() -> dict[str, str]:
             -- reproduce the original events table, row for row
             SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
             FROM events
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                   CAST(sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - 1 AS BIGINT) AS session_idx
+            FROM g
         """,
         "funnel_3step": """
             WITH s1m AS (
