@@ -41,12 +41,13 @@ def tfidf_top_terms(
     unrounded double can disagree with the rounded tiebreak order and
     with other engines' FP evaluation), ties broken by word ascending.
 
-    Shape: the same cascaded pre-reduced aggs as :func:`vocab_topk`
-    produce per-(doc, word) tf and per-word df; the corpus size N and the
-    word→df map join back in — df per word is vocabulary-sized, so the
-    score join shuffles vocabulary rows, not corpus rows; the final
-    per-doc rank window partitions by doc (one exchange of the reduced
-    (doc, word) rows, O(n) running frame).
+    Shape: ONE pass over the corpus — the pre-reduced ``groupBy(doc,
+    word)`` produces the tf rows, and the per-word document frequency is
+    a ``count(*) OVER (PARTITION BY word)`` window on those same rows
+    (one row per (doc, word) ⇒ the window count IS df), so the tf
+    subtree is never recomputed and nothing joins back except the 1-row
+    broadcast corpus count. Three exchanges total, all carrying reduced
+    (doc, word) rows: (doc, word) agg → word window → per-doc rank.
     """
     words = (
         df.select(
@@ -58,12 +59,10 @@ def tfidf_top_terms(
         .filter(F.col("word").isNotNull() & (F.col("word") != ""))
     )
     tf = words.groupBy("id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = df.select(
-        F.count_distinct(F.col(id_col)).alias("__n")
-    )
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("__n"))
+    dfw = Window.partitionBy("word")
     scored = (
-        tf.join(dfreq, "word")
+        tf.withColumn("df", F.count(F.lit(1)).over(dfw))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "id",
