@@ -912,6 +912,50 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("ord", F.col("ord").cast("bigint"))
 
 
+def q_decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination, exact form: drop training docs whose
+    content fingerprint appears in the (small, broadcast) eval set —
+    a LEFT ANTI join on md5, the shape that survives any corpus size
+    because only the eval fingerprints move. Eval set = every 17th doc."""
+    docs = _load(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5("text").alias("fp"))
+    evalset = F.broadcast(
+        fp.filter(F.col("doc_id") % 17 == 0).select("fp").distinct()
+    )
+    kept = fp.join(evalset, "fp", "left_anti")
+    return kept.select("doc_id", "fp")
+
+
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination, n-gram-overlap form (the published
+    recipe: flag any training doc sharing a token n-gram with the eval
+    set; 5-gram here): corpus grams explode MAP-SIDE and left-semi join
+    the broadcast eval-gram set — no shuffle of the corpus, only the
+    distinct flagged ids aggregate. Eval set = every 31st doc."""
+    docs = _load(spark, sf_dir, "documents")
+    n = 5
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.xxhash64(F.slice(toks, i + 1, n)),
+        )
+    )
+    g = docs.select("doc_id", grams.alias("grams")).select(
+        "doc_id", F.explode_outer("grams").alias("gram")
+    )
+    eval_grams = F.broadcast(
+        g.filter(F.col("doc_id") % 31 == 0).select("gram").distinct()
+    )
+    flagged = (
+        g.filter(F.col("doc_id") % 31 != 0)
+        .join(eval_grams, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return flagged
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 corpus vocabulary (term + document frequency): cascaded
     map-side-combined aggs + per-partition local top-k pre-reduction, so
@@ -1646,6 +1690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rollup": q_domain_rollup,
         "vocab_topk": q_vocab_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "decontaminate_exact": q_decontaminate_exact,
+        "decontaminate_ngram": q_decontaminate_ngram,
         "sessionize": q_sessionize,
         "funnel_3step": q_funnel_3step,
         "series_trend": q_series_trend,
@@ -2451,6 +2497,37 @@ def oracle_sql() -> dict[str, str]:
             -- reproduce the original events table, row for row
             SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
             FROM events
+        """,
+        "decontaminate_exact": """
+            WITH fp AS (
+                SELECT doc_id, md5(text) AS fp FROM documents
+            ), ev AS (
+                SELECT DISTINCT fp FROM fp WHERE doc_id % 17 = 0
+            )
+            SELECT f.doc_id, f.fp FROM fp f
+            WHERE NOT EXISTS (SELECT 1 FROM ev WHERE ev.fp = f.fp)
+        """,
+        "decontaminate_ngram": """
+            -- gram equality by STRING here vs 64-bit hash in Spark:
+            -- identical flag sets absent an xxhash64 collision (2^-64)
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(0, greatest(len(t) - 5, 0) + 1),
+                           i -> array_to_string(t[i+1:i+5], ' ')
+                       )) AS g
+                FROM toks
+            ), ex AS (
+                SELECT doc_id, unnest(g) AS gram FROM grams
+            ), ev AS (
+                SELECT DISTINCT gram FROM ex WHERE doc_id % 31 = 0
+            )
+            SELECT DISTINCT doc_id FROM ex
+            WHERE doc_id % 31 != 0 AND gram IN (SELECT gram FROM ev)
         """,
         "sessionize": """
             WITH g AS (
