@@ -1138,6 +1138,16 @@ def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (profiling/dashboard
+    shape): one map-side-combined aggregation on (type, bucket)."""
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 50.0).cast("bigint").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_windowed_latest_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink-comparator windowed latest-vs-latest pair with power derivation
     (SURVEY §2.3 J5, §2.2 P9/P10/P12)."""
@@ -1681,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "salted_agg": q_salted_agg,
         "stats_summary": q_stats_summary,
+        "value_histogram": q_value_histogram,
         "html_extract": q_html_extract,
         "link_extract": q_link_extract,
         "link_graph_degree": q_link_graph_degree,
@@ -2381,6 +2392,12 @@ def oracle_sql() -> dict[str, str]:
                             THEN replace(t, ' ', ' & ') ELSE t END)
                        AS text_md5
             FROM nt
+        """,
+        "value_histogram": """
+            SELECT event_type,
+                   CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
         """,
         "doc_repetition": """
             WITH words AS (
