@@ -5,7 +5,7 @@ Repetition filtering is the canonical web-corpus cleaning rule (the
 RefinedWeb filtering recipes): documents whose text is dominated by a few
 repeated words/lines are boilerplate, not prose. The reference engine's
 quality hooks are per-record scalar transforms
-(``02_PreProcessing/src/main.py``-style record maps); here the corpus-level
+(``03_Stream_Connector``-style record maps); here the corpus-level
 form is expressed as DataFrame aggregations so Catalyst keeps everything
 JVM-side and map-side-combinable.
 """

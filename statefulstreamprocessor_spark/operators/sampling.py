@@ -26,9 +26,13 @@ def _local_bottomk_reducer(strata: list[str], order_cols: list[str], k: int):
     def reduce(batches):
         for pdf in batches:
             if len(pdf):
+                # dropna=False: pandas' default silently discards rows with
+                # a NULL stratum key, but the downstream Window.partitionBy
+                # treats NULL as an ordinary partition — NULL-stratum rows
+                # must survive the pre-reduction too.
                 yield (
                     pdf.sort_values(order_cols, kind="mergesort")
-                    .groupby(strata, sort=False)
+                    .groupby(strata, sort=False, dropna=False)
                     .head(k)
                 )
 

@@ -48,8 +48,13 @@ def group_trend(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("xs").cast(d)).alias("sx"),
         F.sum(F.col("yi").cast(d)).alias("sy"),
-        F.sum((F.col("xs") * F.col("yi")).cast(d)).alias("sxy"),
-        F.sum((F.col("xs") * F.col("xs")).cast(d)).alias("sxx"),
+        # cast the OPERANDS, not the product: xs·yi in BIGINT overflows
+        # int64 for long series with large values (xs ~ 3e7 s, |y| ~ 3e5
+        # micro-units) — ANSI-mode runtime error or silently wrong slopes.
+        # DECIMAL(38,0) × DECIMAL(38,0) mirrors the oracle's
+        # CAST(xs AS HUGEINT) * yi.
+        F.sum(F.col("xs").cast(d) * F.col("yi").cast(d)).alias("sxy"),
+        F.sum(F.col("xs").cast(d) * F.col("xs").cast(d)).alias("sxx"),
     )
     num = F.col("n").cast(d) * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n").cast(d) * F.col("sxx") - F.col("sx") * F.col("sx")

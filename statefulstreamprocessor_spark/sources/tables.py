@@ -56,12 +56,18 @@ class TableHandle:
         ``data-<version>`` directory, then ONE ``os.replace`` of the
         metadata file makes it current. A crash at any point leaves the
         metadata referencing a complete directory (old or new, never a
-        mix, never missing); superseded/orphaned version dirs are garbage,
-        swept on the next successful commit. Single-maintainer semantics
-        (like Iceberg's maintenance actions, which take a table lock).
+        mix, never missing). The immediately-superseded version dir is
+        RETAINED so a reader that resolved the old metadata and is
+        mid-scan keeps its snapshot (real old-or-new isolation, not just
+        for readers opened after the commit); only versions older than
+        the previous one — plus crashed staging leftovers — are swept
+        here. :meth:`vacuum` reclaims the rest once no reader needs it.
+        Single-maintainer semantics (like Iceberg's maintenance actions,
+        which take a table lock).
         """
         new_version = self._version + 1
         new_name = f"data-{new_version:05d}"
+        prev_name = self._data_name
         os.replace(staged_data, os.path.join(self.path, new_name))
         meta = {
             "schema": self.schema_ddl,
@@ -74,13 +80,23 @@ class TableHandle:
             json.dump(meta, f)
         os.replace(tmp, os.path.join(self.path, _META))  # atomic commit point
         self._version, self._data_name = new_version, new_name
-        # sweep superseded versions + crashed staging leftovers (best-effort)
+        self._sweep(keep={new_name, prev_name})
+
+    def _sweep(self, keep: set[str]) -> None:
+        """Best-effort removal of version dirs / staging leftovers not in
+        ``keep``."""
         for entry in os.listdir(self.path):
             full = os.path.join(self.path, entry)
-            if entry == new_name or not os.path.isdir(full):
+            if entry in keep or not os.path.isdir(full):
                 continue
             if entry == "data" or entry.startswith(("data-", "rewrite_", "compact_")):
                 shutil.rmtree(full, ignore_errors=True)
+
+    def vacuum(self) -> None:
+        """Expire all superseded snapshots (Iceberg ``expire_snapshots``):
+        deletes every version dir except the current one. Call when no
+        reader still holds an older snapshot."""
+        self._sweep(keep={self._data_name})
 
     # ------------------------------------------------------------- write
     def append(self, df: DataFrame) -> None:

@@ -92,6 +92,14 @@ def test_maintenance_commit_is_versioned_and_sweeps_leftovers(spark, tmp_path):
     assert meta["version"] == 1 and meta["data_dir"] == "data-00001"
     assert not os.path.exists(str(tmp_path / "t" / "rewrite_stale123"))
     assert not os.path.exists(str(tmp_path / "t" / "data-00990"))
+    # the immediately-superseded snapshot is RETAINED so an in-flight
+    # reader that resolved the old metadata keeps a complete file set
+    # (ADVICE round-3: the eager sweep forfeited snapshot isolation)
+    assert os.path.exists(old_dir)
+    assert spark.read.parquet(old_dir).count() == 8
+    assert load_table(spark, str(tmp_path / "t")).read().count() == 8
+    # explicit expire_snapshots-style maintenance reclaims it
+    t.vacuum()
     assert not os.path.exists(old_dir)
     assert load_table(spark, str(tmp_path / "t")).read().count() == 8
 

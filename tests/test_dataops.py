@@ -230,6 +230,32 @@ def test_hash_fraction_sample_consistent(spark, docs):
     assert 0.1 * n <= len(a) <= 0.5 * n
 
 
+def test_stratified_sample_keeps_null_stratum(spark):
+    """NULL stratum keys are an ordinary stratum (ADVICE round-3: pandas
+    groupby's default dropna=True silently discarded them in the local
+    pre-reduction while the rank window would have sampled them)."""
+    from statefulstreamprocessor_spark.operators.sampling import (
+        stratified_topk_sample,
+    )
+
+    rows = [(i, "en" if i % 3 == 0 else (None if i % 3 == 1 else "de"))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string").repartition(4)
+    got = stratified_topk_sample(df, "lang", "doc_id", k=5).collect()
+    by_stratum: dict = {}
+    for r in got:
+        by_stratum.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert set(by_stratum) == {"en", "de", None}
+    assert all(len(v) == 5 for v in by_stratum.values()), by_stratum
+    # determinism: the NULL stratum picks the same md5-ordered ids again
+    again = {
+        r["doc_id"]
+        for r in stratified_topk_sample(df, "lang", "doc_id", k=5).collect()
+        if r["lang"] is None
+    }
+    assert again == by_stratum[None]
+
+
 def test_cosine_near_dup_matches_bruteforce(spark):
     """LSH sweep + rescore == brute-force all-pairs at the threshold."""
     from statefulstreamprocessor_spark.operators.similarity import (
@@ -527,3 +553,26 @@ def test_group_trend_matches_numpy_lstsq(spark):
         assert n == 40
         want = np.polyfit(xs - xs.min(), np.round(ys * 1e6) / 1e6, 1)[0]
         assert abs(slope - want) < 1e-6, (k, slope, want)
+
+
+def test_group_trend_no_int64_overflow(spark):
+    """Long series with large values: xs·yi exceeds 2^63 if multiplied in
+    BIGINT (ADVICE round-3 — ANSI-mode ARITHMETIC_OVERFLOW, or silently
+    wrong slopes with ANSI off). Operands must be cast to DECIMAL(38,0)
+    BEFORE the multiply."""
+    import datetime
+
+    from statefulstreamprocessor_spark.operators.stats import group_trend
+
+    t0 = datetime.datetime(2020, 1, 1)
+    # xs ~ 4e7 s (15-month span), |y| ~ 3e5 → yi ~ 3e11 micro-units,
+    # xs·yi ~ 1.2e19 > 2^63 ≈ 9.22e18
+    rows = [
+        ("k", t0 + datetime.timedelta(seconds=s), 300_000.0 + 2.0 * (s / 1e6))
+        for s in (0, 10_000_000, 20_000_000, 30_000_000, 40_000_000)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp_ntz, v double")
+    out = group_trend(df, "k", "ts", "v").collect()
+    assert len(out) == 1
+    # exact slope: v rises 2.0 per 1e6 s → 2e-6 per second
+    assert out[0]["slope"] == round(2e-6, 6)
