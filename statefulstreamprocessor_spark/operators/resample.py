@@ -25,6 +25,7 @@ def resample_ffill(
     ts_col: str,
     value_col: str,
     step_seconds: int,
+    chunk_slots: int = 65536,
 ) -> DataFrame:
     """Resample each series onto a regular ``step_seconds`` grid with
     forward fill.
@@ -36,10 +37,15 @@ def resample_ffill(
     ``n_obs`` (observations inside the slot, 0 for gap-filled rows).
 
     Shape: per-series bounds come from one pre-reduced aggregation; the
-    grid explodes map-side from the 2-column bounds rows (never from the
-    data); slot assignment of observations is a column expression; grid
-    and per-slot aggregates meet in ONE hash exchange on (key, slot) via
-    a right-grouped join, and the forward fill is a running
+    grid explodes from the 2-column bounds rows (never from the data) in
+    TWO levels — a coarse ``chunk_slots``-wide chunk explode first, then
+    the fine per-chunk ``sequence()`` — so no single task materializes a
+    series' whole grid (a 10-year span at 1 s steps is a 315M-element
+    array one-level; ``sequence()`` also caps at 2³¹ elements), and the
+    per-chunk arrays parallelize across the cluster after the join's
+    exchange. Slot assignment of observations is a column expression;
+    grid and per-slot aggregates meet in ONE hash exchange on (key,
+    slot) via a right-grouped join, and the forward fill is a running
     ``last(ignorenulls)`` frame — O(n) per series, no point self-joins.
     """
     step = F.lit(step_seconds)
@@ -58,10 +64,30 @@ def resample_ffill(
     bounds = obs.groupBy("key").agg(
         F.min("slot_ts").alias("lo"), F.max("slot_ts").alias("hi")
     )
-    grid = bounds.select(
+    # two-level grid: coarse chunk starts (≤ span/(step·chunk_slots) rows
+    # per series), then the fine sequence within each chunk — bounded at
+    # chunk_slots elements per generated array regardless of span
+    chunk_w = F.lit(int(step_seconds) * int(chunk_slots)).cast("bigint")
+    chunks = bounds.select(
+        "key",
+        F.col("hi"),
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), chunk_w)
+        ).alias("chunk_lo"),
+    )
+    # spread chunk rows before the fine explode: grid GENERATION (not just
+    # its memory) parallelizes across executors; the exchange carries only
+    # the coarse rows (span/(step·chunk_slots) per series)
+    grid = chunks.repartition("key", "chunk_lo").select(
         "key",
         F.explode(
-            F.sequence(F.col("lo"), F.col("hi"), step.cast("bigint"))
+            F.sequence(
+                F.col("chunk_lo"),
+                F.least(
+                    F.col("hi"), F.col("chunk_lo") + chunk_w - step.cast("bigint")
+                ),
+                step.cast("bigint"),
+            )
         ).alias("slot_ts"),
     )
     joined = grid.join(per_slot, ["key", "slot_ts"], "left")

@@ -523,6 +523,38 @@ def test_resample_ffill_and_derivative(spark):
     }
 
 
+def test_resample_ffill_chunked_grid_equals_single_chunk(spark):
+    """Long-span guard (VERDICT round-3 minor #3): the two-level chunked
+    grid (coarse chunk explode → bounded fine sequence) must produce the
+    exact same rows as a grid that fits one chunk, including at chunk
+    boundaries and for spans that are not a multiple of the chunk width."""
+    import datetime
+
+    from statefulstreamprocessor_spark.operators.resample import resample_ffill
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # series 'a': 100 slots of 60 s (span 99 min), observations sparse;
+    # chunk_slots=7 → 15 chunks, last one partial (100 = 14*7 + 2)
+    rows = [
+        ("a", t0 + datetime.timedelta(seconds=s), float(s))
+        for s in (0, 61, 1900, 3000, 5940)
+    ] + [("b", t0 + datetime.timedelta(seconds=30), 1.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp_ntz, v double")
+
+    def run(chunk_slots):
+        return sorted(
+            (r["key"], r["slot_ts"], r["value"], r["n_obs"])
+            for r in resample_ffill(
+                df, "k", "ts", "v", step_seconds=60, chunk_slots=chunk_slots
+            ).collect()
+        )
+
+    big = run(1 << 20)   # whole grid in one chunk
+    small = run(7)       # 15 chunks, partial tail
+    assert big == small
+    assert len(big) == 100 + 1  # series a: slots 0..5940; series b: 1 slot
+
+
 def test_group_trend_matches_numpy_lstsq(spark):
     import datetime
 
