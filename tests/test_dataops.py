@@ -350,6 +350,39 @@ def test_ivf_topk_recall_and_determinism(spark):
             assert r["sim"] == exact_sims[kk]
 
 
+def test_ivf_training_skips_count_when_n_rows_given(spark):
+    """Callers at scale know their table stats: passing n_rows must (a)
+    never trigger the extra full-scan count() job (VERDICT round-3 minor
+    #4) and (b) train bit-identical centroids when n_rows equals the true
+    count (only the sample fraction depends on it)."""
+    import numpy as np
+
+    from statefulstreamprocessor_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    true_n = emb.count()
+
+    class NoCount:
+        """DataFrame proxy that forbids count() but forwards the rest."""
+
+        def __init__(self, df):
+            self._df = df
+
+        def count(self):
+            raise AssertionError("count() must not run when n_rows is given")
+
+        def __getattr__(self, name):
+            return getattr(self._df, name)
+
+    with_hint = train_ivf_centroids(
+        NoCount(emb), "vec_id", "embedding", n_centroids=8, n_rows=true_n
+    )
+    baseline = train_ivf_centroids(emb, "vec_id", "embedding", n_centroids=8)
+    assert np.array_equal(with_hint, baseline)
+
+
 def test_word_repetition_stats(spark):
     """Hand-computed fixture incl. the deterministic argmax tie-break
     (highest count, then lexicographically GREATEST word)."""
