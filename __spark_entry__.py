@@ -123,6 +123,34 @@ def q_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_backward_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key sharded as-of (VERDICT round-3 next-round #4): identical
+    semantics to q_asof_backward but with a 1 h tolerance and the
+    time-banded window — each key's timeline shards into tolerance-wide
+    buckets with ±1-bucket right-row overlap, so one dominant user no
+    longer serializes the stage."""
+    from statefulstreamprocessor_spark.operators.asof import asof_join_banded
+
+    ev = _load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join_banded(
+        left, right, "user_id", "ts", direction="backward", tolerance=3600.0
+    )
+    return out.select(
+        "user_id",
+        _us("ts").alias("ts_us"),
+        "event_id",
+        "value",
+        _us("right_ts").alias("click_ts_us"),
+        F.col("right_event_id").alias("click_event_id"),
+    )
+
+
 def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join: each purchase enriched with the earliest click
     at-or-after it (inclusive at equal timestamps — ADVICE round-1 fix)."""
@@ -1672,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nn_pair_join_delta": q_nn_pair_join_delta,
         "nn_pair_join_banded": q_nn_pair_join_banded,
         "asof_backward": q_asof_backward,
+        "asof_backward_banded": q_asof_backward_banded,
         "asof_forward": q_asof_forward,
         "tumbling_hourly": q_tumbling_hourly,
         "tumbling_hourly_streaming": q_tumbling_hourly_streaming,
@@ -2024,6 +2053,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, epoch_us(ts) AS ts_us, l_event_id AS event_id,
                    l_value AS value, epoch_us(c_ts) AS click_ts_us,
                    c_id AS click_event_id
+            FROM ann WHERE side = 1
+        """,
+        "asof_backward_banded": """
+            WITH merged AS (
+                SELECT user_id, ts, 0 AS side, event_id, NULL::BIGINT AS l_event_id,
+                       NULL::DOUBLE AS l_value FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT user_id, ts, 1 AS side, NULL::BIGINT, event_id, value
+                FROM events WHERE event_type = 'purchase'
+            ), ann AS (
+                SELECT user_id, ts, side, event_id, l_event_id, l_value,
+                    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER w AS c_ts,
+                    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER w AS c_id
+                FROM merged
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, side ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            )
+            SELECT user_id, epoch_us(ts) AS ts_us, l_event_id AS event_id,
+                   l_value AS value,
+                   CASE WHEN epoch_us(ts) - epoch_us(c_ts)
+                             <= 3600::BIGINT * 1000000
+                        THEN epoch_us(c_ts) END AS click_ts_us,
+                   CASE WHEN epoch_us(ts) - epoch_us(c_ts)
+                             <= 3600::BIGINT * 1000000
+                        THEN c_id END AS click_event_id
             FROM ann WHERE side = 1
         """,
         "asof_forward": """

@@ -15,7 +15,121 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "asof_join_banded"]
+
+
+def _merge_sides(
+    df_left: DataFrame,
+    df_right: DataFrame,
+    keys: list[str],
+    ts_col: str,
+) -> tuple[DataFrame, list[str], list[str]]:
+    """Union the two sides into one keyed stream: ``__ts`` | ``__side``
+    (0 = right, sorts first at equal ts so ties stay inclusive) | ``__lp``
+    / ``__rp`` payload structs."""
+    left_payload = [c for c in df_left.columns if c not in keys]
+    right_payload = [c for c in df_right.columns if c not in keys]
+    lp_type = df_left.select(
+        F.struct(*left_payload).alias("x")
+    ).schema["x"].dataType
+    rp_type = df_right.select(
+        F.struct(*right_payload).alias("x")
+    ).schema["x"].dataType
+    merged = df_right.select(
+        *keys,
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(lp_type).alias("__lp"),
+        F.struct(*right_payload).alias("__rp"),
+    ).unionByName(
+        df_left.select(
+            *keys,
+            F.col(ts_col).alias("__ts"),
+            F.lit(1).alias("__side"),
+            F.struct(*left_payload).alias("__lp"),
+            F.lit(None).cast(rp_type).alias("__rp"),
+        )
+    )
+    return merged, left_payload, right_payload
+
+
+def _secs_fn(ts_dtype: str):
+    """Epoch-seconds expression for tolerance/band math. TIMESTAMP_NTZ must
+    NOT round-trip through a session-timezone cast (a DST transition inside
+    the data would shift the offset mid-stream): use timestamp_diff from
+    the NTZ epoch, which is session-tz-proof."""
+    if ts_dtype == "timestamp_ntz":
+        epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+        def secs(c):
+            return (
+                F.timestamp_diff("MICROSECOND", epoch, c).cast("double") / 1e6
+            )
+    elif ts_dtype.startswith("timestamp"):
+        def secs(c):
+            return c.cast("double")
+    else:
+        def secs(c):
+            return c.cast("double")
+    return secs
+
+
+def _asof_core(
+    merged: DataFrame,
+    part_cols: list[str],
+    keys: list[str],
+    ts_col: str,
+    direction: str,
+    tolerance: float | None,
+    ts_dtype: str,
+    left_payload: list[str],
+    right_payload: list[str],
+    right_prefix: str,
+) -> DataFrame:
+    """Shared window core: running nearest-in-direction right candidate per
+    partition, tolerance cut, left-outer projection."""
+    if direction == "backward":
+        # asc traversal: the right row (side 0) precedes an equal-ts left
+        # row, so right.ts <= left.ts is inclusive
+        order = [F.col("__ts").asc(), F.col("__side").asc()]
+    else:
+        # desc traversal must ALSO put the right row first at equal ts —
+        # side ASC (0 before 1), not desc — so right.ts >= left.ts is
+        # inclusive as documented
+        order = [F.col("__ts").desc(), F.col("__side").asc()]
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cand = F.last(
+        F.when(
+            F.col("__side") == 0,
+            F.struct(F.col("__ts").alias("t"), F.col("__rp").alias("p")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+
+    ann = merged.withColumn("__cand", cand).filter(F.col("__side") == 1)
+    if tolerance is not None:
+        secs = _secs_fn(ts_dtype)
+        in_tol = (
+            F.abs(secs(F.col("__cand.t")) - secs(F.col("__ts")))
+            <= F.lit(float(tolerance))
+        )
+        ann = ann.withColumn("__cand", F.when(in_tol, F.col("__cand")))
+
+    out = (
+        [F.col(k) for k in keys]
+        + [F.col(f"__lp.{c}").alias(c) for c in left_payload]
+        + [F.col("__cand.t").alias(f"{right_prefix}{ts_col}")]
+        + [
+            F.col(f"__cand.p.{c}").alias(f"{right_prefix}{c}")
+            for c in right_payload
+            if c != ts_col
+        ]
+    )
+    return ann.select(*out)
 
 
 def asof_join(
@@ -39,78 +153,97 @@ def asof_join(
         keys = [keys]
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    left_payload = [c for c in df_left.columns if c not in keys]
-    right_payload = [c for c in df_right.columns if c not in keys]
-
     # at equal ts the right row must be visible to the left row, so right
     # sorts first in backward mode and last-reversed in forward mode
-    merged = df_right.select(
-        *keys,
-        F.col(ts_col).alias("__ts"),
-        F.lit(0).alias("__side"),
-        F.lit(None).cast(
-            df_left.select(F.struct(*left_payload).alias("x")).schema["x"].dataType
-        ).alias("__lp"),
-        F.struct(*right_payload).alias("__rp"),
-    ).unionByName(
-        df_left.select(
-            *keys,
-            F.col(ts_col).alias("__ts"),
-            F.lit(1).alias("__side"),
-            F.struct(*left_payload).alias("__lp"),
-            F.lit(None).cast(
-                df_right.select(F.struct(*right_payload).alias("x")).schema[
-                    "x"
-                ].dataType
-            ).alias("__rp"),
-        )
+    merged, left_payload, right_payload = _merge_sides(
+        df_left, df_right, keys, ts_col
+    )
+    return _asof_core(
+        merged,
+        keys,
+        keys,
+        ts_col,
+        direction,
+        tolerance,
+        df_left.schema[ts_col].dataType.simpleString(),
+        left_payload,
+        right_payload,
+        right_prefix,
     )
 
-    if direction == "backward":
-        # asc traversal: the right row (side 0) precedes an equal-ts left
-        # row, so right.ts <= left.ts is inclusive
-        order = [F.col("__ts").asc(), F.col("__side").asc()]
-    else:
-        # desc traversal must ALSO put the right row first at equal ts —
-        # side ASC (0 before 1), not desc — so right.ts >= left.ts is
-        # inclusive as documented
-        order = [F.col("__ts").desc(), F.col("__side").asc()]
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cand = F.last(
-        F.when(F.col("__side") == 0, F.struct(F.col("__ts").alias("t"), F.col("__rp").alias("p"))),
-        ignorenulls=True,
-    ).over(w)
 
-    ann = merged.withColumn("__cand", cand).filter(F.col("__side") == 1)
-    if tolerance is not None:
-        ts_type = df_left.schema[ts_col].dataType.simpleString()
-        if ts_type.startswith("timestamp"):
-            def secs(c):
-                return c.cast("timestamp").cast("double")
-        else:
-            def secs(c):
-                return c.cast("double")
-        in_tol = (
-            F.abs(secs(F.col("__cand.t")) - secs(F.col("__ts")))
-            <= F.lit(float(tolerance))
-        )
-        ann = ann.withColumn("__cand", F.when(in_tol, F.col("__cand")))
+def asof_join_banded(
+    df_left: DataFrame,
+    df_right: DataFrame,
+    keys: list[str] | str,
+    ts_col: str,
+    direction: str = "backward",
+    tolerance: float | None = None,
+    right_prefix: str = "right_",
+    band_seconds: float | None = None,
+) -> DataFrame:
+    """As-of join with *intra-key* parallelism — the hot-key scale path.
 
-    out = (
-        [F.col(k) for k in keys]
-        + [
-            F.col(f"__lp.{c}").alias(c)
-            for c in left_payload
-        ]
-        + [F.col("__cand.t").alias(f"{right_prefix}{ts_col}")]
-        + [
-            F.col(f"__cand.p.{c}").alias(f"{right_prefix}{c}")
-            for c in right_payload
-            if c != ts_col
-        ]
+    ``asof_join`` puts each key's full timeline through one window
+    partition; a single dominant key (one url/user owning a large share
+    of a crawl) then bounds the stage — the same hot-series failure mode
+    ``nn_join_banded`` solves for the pairwise join. For
+    tolerance-bounded as-ofs this variant shards each key's timeline
+    into ``band_seconds``-wide buckets (must be ≥ tolerance; default =
+    tolerance) and runs the same window core per (key, bucket):
+
+    * left rows live only in their own bucket, so every left row is
+      emitted exactly once (left-outer cardinality unchanged);
+    * right rows are replicated into the one adjacent bucket a
+      tolerance-range lookup can reach (the NEXT bucket for backward —
+      a left row at ``t`` looks back to ``t − tolerance`` which, with
+      band ≥ tolerance, lies in its own or the previous bucket; the
+      PREVIOUS bucket for forward);
+    * within a bucket the nearest in-direction right row among the
+      present rows IS the true nearest within tolerance whenever one
+      exists (any nearer row would itself be within tolerance and
+      present), and a nearer out-of-tolerance candidate is nulled by
+      the tolerance cut exactly as in ``asof_join``.
+
+    Output is identical to ``asof_join(..., tolerance=tolerance)``
+    (equality-tested, including a hot-key fixture); the plan trades 2×
+    right-row duplication for #buckets-way parallelism inside each key.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if tolerance is None or tolerance <= 0:
+        raise ValueError("asof_join_banded requires a positive tolerance")
+    width = float(band_seconds or tolerance)
+    if width < tolerance:
+        raise ValueError("band_seconds must be >= tolerance")
+
+    ts_dtype = df_left.schema[ts_col].dataType.simpleString()
+    secs = _secs_fn(ts_dtype)
+
+    merged, left_payload, right_payload = _merge_sides(
+        df_left, df_right, keys, ts_col
     )
-    return ann.select(*out)
+    bucket = F.floor(secs(F.col("__ts")) / F.lit(width)).cast("long")
+    neighbor = bucket + (1 if direction == "backward" else -1)
+    banded = merged.select(
+        "*",
+        F.explode(
+            F.when(F.col("__side") == 0, F.array(bucket, neighbor)).otherwise(
+                F.array(bucket)
+            )
+        ).alias("__bucket"),
+    )
+    return _asof_core(
+        banded,
+        [*keys, "__bucket"],
+        keys,
+        ts_col,
+        direction,
+        tolerance,
+        ts_dtype,
+        left_payload,
+        right_payload,
+        right_prefix,
+    )

@@ -133,6 +133,86 @@ def test_asof_equal_ts_semantics(spark):
     assert fwd[0]["right_rv"] == 100.0
 
 
+def test_asof_banded_equals_plain(spark):
+    """asof_join_banded == asof_join on a randomized HOT-KEY fixture (one
+    key owns most rows — the skew case the banding exists for), across
+    directions, band widths, equal-ts ties and out-of-tolerance gaps."""
+    import random as _rnd
+
+    from statefulstreamprocessor_spark.operators.asof import (
+        asof_join,
+        asof_join_banded,
+    )
+
+    _rnd.seed(41)
+    rows_l, rows_r = [], []
+    for i in range(220):
+        # ~80% of rows land on the hot key
+        key = "hot" if _rnd.random() < 0.8 else f"k{_rnd.randrange(4)}"
+        ts = float(_rnd.randrange(0, 400))  # forced equal-ts collisions
+        (rows_l if i % 2 else rows_r).append((key, ts, float(i)))
+    left = spark.createDataFrame(rows_l, ["key", "ts", "lv"]).repartition(7)
+    right = spark.createDataFrame(rows_r, ["key", "ts", "rv"]).repartition(5)
+
+    def canon(df):
+        return sorted(
+            (r["key"], r["ts"], r["lv"], r["right_ts"], r["right_rv"])
+            for r in df.collect()
+        )
+
+    for direction in ("backward", "forward"):
+        for tol, band in ((25.0, None), (25.0, 40.0), (3.0, None)):
+            plain = canon(
+                asof_join(left, right, "key", "ts", direction, tolerance=tol)
+            )
+            banded = canon(
+                asof_join_banded(
+                    left, right, "key", "ts", direction,
+                    tolerance=tol, band_seconds=band,
+                )
+            )
+            assert banded == plain, (direction, tol, band)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        asof_join_banded(left, right, "key", "ts", tolerance=None)
+    with pytest.raises(ValueError):
+        asof_join_banded(left, right, "key", "ts", tolerance=10.0, band_seconds=5.0)
+
+
+def test_asof_banded_timestamp_and_parallel_partitions(spark):
+    """Timestamp columns bucket correctly, and the banded plan's window
+    partitions on (key, bucket) — the hot key genuinely shards."""
+    import datetime
+
+    from statefulstreamprocessor_spark.operators.asof import (
+        asof_join,
+        asof_join_banded,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1)
+    left = spark.createDataFrame(
+        [("u", t0 + datetime.timedelta(seconds=s), float(s)) for s in range(0, 5000, 37)],
+        "key string, ts timestamp_ntz, lv double",
+    )
+    right = spark.createDataFrame(
+        [("u", t0 + datetime.timedelta(seconds=s), float(s)) for s in range(5, 5000, 61)],
+        "key string, ts timestamp_ntz, rv double",
+    )
+    plain = sorted(
+        (r["key"], r["ts"], r["right_ts"])
+        for r in asof_join(left, right, "key", "ts", tolerance=120.0).collect()
+    )
+    banded_df = asof_join_banded(left, right, "key", "ts", tolerance=120.0)
+    banded = sorted(
+        (r["key"], r["ts"], r["right_ts"]) for r in banded_df.collect()
+    )
+    assert banded == plain
+    plan = banded_df._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" in plan  # the window partition key includes the band
+
+
 def test_nn_join_cross_side_tie_minimal(spark):
     """r=[10,30], s=[10]: the reference joins at s.time >= r.time, so the
     only pair is (10,10) — r30 has no forward partner and (30,10) must NOT
