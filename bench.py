@@ -11,8 +11,8 @@ Prints ONE JSON line:
 Worker modes (internal):
 ``bench.py --scaling-worker <cores> <input_dir> [reps]`` — full streaming
 webtext pipeline (extract → watermark → stateful join → exactly-once sink)
-at local[cores] in a fresh JVM, measured ``reps`` times back-to-back (best
-kept, all reported); ``--batch-worker <cores> <input_dir>`` — the batch
+at local[cores] in a fresh JVM, measured ``reps`` times back-to-back
+(median kept, all reported); ``--batch-worker <cores> <input_dir>`` — the batch
 closure join (pure JVM) on the same input. Each prints one JSON line.
 
 Disable the scaling run with SPARK_GRAFT_SCALING=0.
@@ -152,7 +152,10 @@ def scaling_worker(cores: int, input_dir: str, reps: int = 1) -> None:
     # reps > 1 (short leg of the concurrent protocol): measure the same job
     # several times in THIS JVM — back-to-back runs span the same wall
     # window as the long leg running concurrently on its own cpuset, so a
-    # single bad steal minute can't decide the leg; best kept, all reported
+    # single bad steal minute can't decide the leg. MEDIAN kept, all
+    # reported: round 3 kept the best rep, which biased the recorded
+    # efficiency upward (best-of on the numerator only — ADVICE round-3);
+    # the median is a symmetric statistic against the single-run leg.
     runs = []
     for _ in range(max(reps, 1)):
         rep_out = tempfile.mkdtemp(prefix=f"ssp_scale_{cores}_", dir="/dev/shm")
@@ -203,11 +206,16 @@ def scaling_worker(cores: int, input_dir: str, reps: int = 1) -> None:
             }
         )
         shutil.rmtree(rep_out, ignore_errors=True)
-    best = max(runs, key=lambda r: r["joined_rows_per_sec"])
+    ordered = sorted(runs, key=lambda r: r["joined_rows_per_sec"])
+    # lower median for even rep counts: never rounds the statistic up
+    chosen = ordered[(len(ordered) - 1) // 2]
     if len(runs) > 1:
-        best = dict(best)
-        best["all_reps_rows_per_sec"] = [r["joined_rows_per_sec"] for r in runs]
-    print(json.dumps(best))
+        chosen = dict(chosen)
+        chosen["all_reps_rows_per_sec"] = [
+            r["joined_rows_per_sec"] for r in runs
+        ]
+        chosen["rep_statistic"] = "median"
+    print(json.dumps(chosen))
     spark.stop()
     shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -331,8 +339,9 @@ def run_scaling(extra: dict) -> None:
         # 0.68-0.85 for identical code purely from window luck). The big
         # leg finishes ~3-4x sooner, so it measures the job `big_reps`
         # times back-to-back inside one JVM — spanning the same wall
-        # window as the long small leg — and keeps the best (all reps
-        # reported in the JSON).
+        # window as the long small leg — and keeps the MEDIAN rep (all
+        # reps reported in the JSON; best-of was asymmetric-biased,
+        # ADVICE round-3).
         big_reps = int(os.environ.get("SPARK_GRAFT_SCALE_BIG_REPS", "3"))
         p_small = subprocess.Popen(
             _cmd(n_small, 1), stdout=subprocess.PIPE,
@@ -385,7 +394,8 @@ def run_scaling(extra: dict) -> None:
         "input_rows": BENCH_ROWS,
         "method": (
             "concurrent disjoint-cpuset legs (taskset), same input, "
-            "same wall window; big leg best-of-reps in-window"
+            "same wall window; big leg median-of-reps in-window "
+            "(symmetric statistic)"
             if mode == "concurrent"
             else "interleaved sequential best-of per level, same input%s"
             % (", disjoint cpusets (taskset)" if pin else "")
