@@ -1,0 +1,104 @@
+"""Document-structure cleaning: global paragraph dedup + boilerplate
+line removal (operators/docclean.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from statefulstreamprocessor_spark.operators.docclean import (
+    dedup_paragraphs,
+    remove_boilerplate_lines,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from statefulstreamprocessor_spark.session import get_spark
+
+    return get_spark("docclean-tests", master="local[4]", shuffle_partitions=8)
+
+
+def _rows(spark, docs):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id bigint, text string"
+    )
+
+
+def test_dedup_paragraphs_first_global_occurrence(spark):
+    docs = [
+        "alpha\n\nshared\n\nbeta",      # doc 0: first 'shared'
+        "shared\n\ngamma",              # doc 1: 'shared' dropped
+        "delta\n\nshared\n\nshared",    # doc 2: both copies dropped
+    ]
+    out = {
+        r["id"]: r
+        for r in dedup_paragraphs(_rows(spark, docs), "text", "doc_id").collect()
+    }
+    assert out[0]["text"] == "alpha\n\nshared\n\nbeta"
+    assert (out[0]["n_kept"], out[0]["n_dropped"]) == (3, 0)
+    assert out[1]["text"] == "gamma"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (1, 1)
+    assert out[2]["text"] == "delta"
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (1, 2)
+
+
+def test_dedup_paragraphs_within_doc_first_kept(spark):
+    # duplicate inside ONE document: smallest pos wins
+    out = dedup_paragraphs(
+        _rows(spark, ["x\n\ny\n\nx"]), "text", "doc_id"
+    ).collect()
+    assert out[0]["text"] == "x\n\ny"
+    assert (out[0]["n_kept"], out[0]["n_dropped"]) == (2, 1)
+
+
+def test_dedup_paragraphs_empty_segments_and_order(spark):
+    # doubled/trailing separators produce empty segments — dropped, and
+    # reassembly preserves original paragraph order
+    out = dedup_paragraphs(
+        _rows(spark, ["c\n\n\n\na\n\nb\n\n"]), "text", "doc_id",
+        sep_regex=r"\n\n"
+    ).collect()
+    assert out[0]["text"].split("\n\n") == ["c", "a", "b"]
+
+
+def test_remove_boilerplate_lines_df_threshold(spark):
+    nav = "HOME | ABOUT | CONTACT"
+    docs = [f"{nav}\ncontent {i}\n{nav}" for i in range(4)] + ["rare\nunique"]
+    out = {
+        r["id"]: r
+        for r in remove_boilerplate_lines(
+            _rows(spark, docs), "text", "doc_id", max_df=3
+        ).collect()
+    }
+    # nav occurs (twice) in 4 docs > max_df=3 -> dropped everywhere,
+    # including both within-doc copies
+    for i in range(4):
+        assert out[i]["text"] == f"content {i}"
+        assert (out[i]["n_kept"], out[i]["n_dropped"]) == (1, 2)
+    assert out[4]["text"] == "rare\nunique"
+    assert (out[4]["n_kept"], out[4]["n_dropped"]) == (2, 0)
+
+
+def test_remove_boilerplate_lines_at_threshold_kept(spark):
+    # exactly max_df distinct docs is NOT boilerplate (strict >)
+    docs = ["k\na", "k\nb", "k\nc"]
+    out = {
+        r["id"]: r["text"]
+        for r in remove_boilerplate_lines(
+            _rows(spark, docs), "text", "doc_id", max_df=3
+        ).collect()
+    }
+    assert out == {0: "k\na", 1: "k\nb", 2: "k\nc"}
+
+
+def test_boilerplate_broadcast_anti_shape(spark):
+    """The corpus-side filter must be a broadcast join (the boilerplate
+    set is bounded by total_lines/max_df); the corpus rows shuffle only
+    for the reassembly groupBy(id)."""
+    df = _rows(spark, [f"line{i}\ncommon" for i in range(20)])
+    plan = (
+        remove_boilerplate_lines(df, "text", "doc_id", max_df=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
