@@ -1002,6 +1002,27 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frequent_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the corpus token stream WITHOUT a full
+    group-by: per-Arrow-batch frequent filter (mergeable Misra-Gries
+    bound — a value failing the batch threshold everywhere cannot be a
+    global heavy hitter) → broadcast the bounded candidate set → exact
+    recount of candidates only. Integer threshold math (cnt·den > n·num),
+    so the output equals the plain GROUP BY ... HAVING oracle exactly."""
+    from statefulstreamprocessor_spark.operators.freq import frequent_items
+
+    docs = _load(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode_outer(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word").isNotNull() & (F.col("word") != ""))
+    )
+    return frequent_items(words, "word", num=1, den=50)
+
+
 def q_decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination, exact form: drop training docs whose
     content fingerprint appears in the (small, broadcast) eval set —
@@ -1798,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_backward_banded": q_asof_backward_banded,
         "paragraph_dedup": q_paragraph_dedup,
         "boilerplate_lines": q_boilerplate_lines,
+        "frequent_words": q_frequent_words,
         "nn_pair_join_delta": q_nn_pair_join_delta,
         "nn_pair_join_banded": q_nn_pair_join_banded,
         "asof_backward": q_asof_backward,
@@ -2661,6 +2683,20 @@ def oracle_sql() -> dict[str, str]:
             -- reproduce the original events table, row for row
             SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
             FROM events
+        """,
+        "frequent_words": """
+            WITH words AS (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS value
+                FROM documents
+            ), w AS (
+                SELECT value FROM words
+                WHERE value IS NOT NULL AND value <> ''
+            ), tot AS (SELECT count(*) AS n FROM w)
+            SELECT value, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(max(tot.n) AS BIGINT) AS n_total
+            FROM w, tot GROUP BY value
+            HAVING count(*) * 50 > max(tot.n) * 1
         """,
         "paragraph_dedup": """
             WITH built AS (

@@ -438,6 +438,49 @@ def test_ivf_training_skips_count_when_n_rows_given(spark):
     assert np.array_equal(with_hint, baseline)
 
 
+def test_frequent_items_matches_exact_groupby(spark):
+    """The sketch phase may only ever prune NON-heavy values: output must
+    equal the plain GROUP BY ... HAVING cnt*den > n*num, bit for bit,
+    across skews and thresholds (integer threshold math, no float n*frac)."""
+    import random as _rnd
+
+    from statefulstreamprocessor_spark.operators.freq import frequent_items
+
+    _rnd.seed(13)
+    # zipf-ish: value v_i with weight ~ 1/i, plus a long unique tail
+    pool = [f"v{i}" for i in range(1, 30) for _ in range(300 // i)]
+    pool += [f"tail{j}" for j in range(400)]
+    _rnd.shuffle(pool)
+    df = spark.createDataFrame(
+        [(v,) for v in pool], "word string"
+    ).repartition(8)
+    n = len(pool)
+    for num, den in ((1, 100), (1, 20), (3, 100)):
+        got = {
+            (r["value"], r["cnt"], r["n_total"])
+            for r in frequent_items(df, "word", num, den).collect()
+        }
+        from collections import Counter
+
+        cnt = Counter(pool)
+        want = {
+            (v, c, n) for v, c in cnt.items() if c * den > n * num
+        }
+        assert got == want, (num, den, got ^ want)
+
+    plan = (
+        frequent_items(df, "word", 1, 50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the candidate set broadcasts; the corpus joins it without shuffling
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+    with pytest.raises(ValueError):
+        frequent_items(df, "word", 0, 10)
+    with pytest.raises(ValueError):
+        frequent_items(df, "word", 10, 10)
+
+
 def test_word_repetition_stats(spark):
     """Hand-computed fixture incl. the deterministic argmax tie-break
     (highest count, then lexicographically GREATEST word)."""
