@@ -36,13 +36,14 @@ _META = "_table_metadata.json"
 class TableHandle:
     def __init__(self, spark: SparkSession, path: str, schema_ddl: str,
                  partition_by: list[str], version: int = 0,
-                 data_name: str = "data"):
+                 data_name: str = "data", prev_data_name: str | None = None):
         self.spark = spark
         self.path = path
         self.schema_ddl = schema_ddl
         self.partition_by = partition_by
         self._version = version
         self._data_name = data_name
+        self._prev_data_name = prev_data_name
 
     @property
     def data_dir(self) -> str:
@@ -74,12 +75,14 @@ class TableHandle:
             "partition_by": self.partition_by,
             "version": new_version,
             "data_dir": new_name,
+            "previous_data_dir": prev_name,
         }
         fd, tmp = tempfile.mkstemp(dir=self.path)
         with os.fdopen(fd, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, os.path.join(self.path, _META))  # atomic commit point
         self._version, self._data_name = new_version, new_name
+        self._prev_data_name = prev_name
         self._sweep(keep={new_name, prev_name})
 
     def _sweep(self, keep: set[str]) -> None:
@@ -97,6 +100,43 @@ class TableHandle:
         deletes every version dir except the current one. Call when no
         reader still holds an older snapshot."""
         self._sweep(keep={self._data_name})
+        self._prev_data_name = None
+
+    def changelog(self) -> DataFrame:
+        """Row-level change feed vs the previous retained snapshot
+        (Iceberg changelog-scan analogue, enabled by the snapshot
+        retention in :meth:`_commit_swap`).
+
+        Output: the table columns plus ``_change`` — the net multiset
+        delta per distinct row (positive = inserted since the previous
+        snapshot, negative = deleted); unchanged rows are absent, so a
+        pure bin-pack compaction yields an EMPTY changelog. Shape: the
+        two snapshots union with ±1 weights into ONE map-side-combinable
+        aggregation over the row — no join, one exchange, partials
+        collapse in the scan tasks.
+        """
+        if not self._prev_data_name:
+            raise ValueError(
+                "no previous snapshot retained (nothing committed yet, "
+                "or it was vacuumed)"
+            )
+        prev_dir = os.path.join(self.path, self._prev_data_name)
+        if not os.path.isdir(prev_dir):
+            raise ValueError(f"previous snapshot missing: {prev_dir}")
+        schema = self.spark.createDataFrame([], self.schema_ddl).schema
+        cols = [f.name for f in schema.fields]
+        cur = self.spark.read.schema(schema).parquet(self.data_dir).select(
+            *cols, F.lit(1).alias("__w")
+        )
+        prev = self.spark.read.schema(schema).parquet(prev_dir).select(
+            *cols, F.lit(-1).alias("__w")
+        )
+        return (
+            cur.unionByName(prev)
+            .groupBy(*cols)
+            .agg(F.sum("__w").alias("_change"))
+            .filter(F.col("_change") != 0)
+        )
 
     # ------------------------------------------------------------- write
     def append(self, df: DataFrame) -> None:
@@ -219,4 +259,5 @@ def load_table(spark: SparkSession, path: str) -> TableHandle:
     return TableHandle(
         spark, path, meta["schema"], meta["partition_by"],
         meta.get("version", 0), meta.get("data_dir", "data"),
+        meta.get("previous_data_dir"),
     )

@@ -104,6 +104,34 @@ def test_maintenance_commit_is_versioned_and_sweeps_leftovers(spark, tmp_path):
     assert load_table(spark, str(tmp_path / "t")).read().count() == 8
 
 
+def test_changelog_between_snapshots(spark, tmp_path):
+    """Iceberg changelog-scan analogue over the retained previous
+    snapshot: a pure bin-pack compaction produces an EMPTY changelog,
+    appends since the last commit show +1, log-compaction shows the
+    superseded rows at -1, and vacuum forfeits the feed loudly."""
+    t = create_table(spark, str(tmp_path / "t"), DDL)
+    t.append(_rows(spark, 4, base=0))
+    with pytest.raises(ValueError):
+        t.changelog()  # nothing committed yet
+    t.rewrite_data_files(target_files_per_partition=1)
+    assert t.changelog().count() == 0  # compaction: no row-level change
+    t.append(_rows(spark, 2, base=100))  # u0/u1 again, higher n
+    got = {(r["url"], r["n"], r["_change"]) for r in t.changelog().collect()}
+    assert got == {("u0", 100, 1), ("u1", 101, 1)}
+    t.compact_latest_by_key(keys=["url"], order_col="n")
+    got = {(r["url"], r["n"], r["_change"]) for r in t.changelog().collect()}
+    # vs previous snapshot (which held both generations): old u0/u1 gone
+    assert got == {("u0", 0, -1), ("u1", 1, -1)}
+    # reload from disk: the feed survives process restart via metadata
+    t2 = load_table(spark, str(tmp_path / "t"))
+    assert {
+        (r["url"], r["n"], r["_change"]) for r in t2.changelog().collect()
+    } == got
+    t.vacuum()
+    with pytest.raises(ValueError):
+        t.changelog()
+
+
 def test_compact_latest_by_key(spark, tmp_path):
     t = create_table(spark, str(tmp_path / "t"), DDL)
     t.append(_rows(spark, 4, base=0))
