@@ -1002,6 +1002,27 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-balanced corpus sampling: rank docs by (n_chars, doc_id)
+    with the distributed two-level prefix-sum scan (never a global
+    row_number window), cut into 4 equal-count quantile buckets with
+    exact integer division, keep 25 md5-deterministic docs per bucket."""
+    from statefulstreamprocessor_spark.operators.sampling import (
+        quantile_bucket_sample,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    out = quantile_bucket_sample(
+        docs.select("doc_id", "n_chars"), "n_chars", "doc_id",
+        n_buckets=4, k=25,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("value").alias("n_chars"),
+        "bucket",
+    )
+
+
 def q_frequent_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters over the corpus token stream WITHOUT a full
     group-by: per-Arrow-batch frequent filter (mergeable Misra-Gries
@@ -1820,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "boilerplate_lines": q_boilerplate_lines,
         "frequent_words": q_frequent_words,
+        "length_balanced_sample": q_length_balanced_sample,
         "nn_pair_join_delta": q_nn_pair_join_delta,
         "nn_pair_join_banded": q_nn_pair_join_banded,
         "asof_backward": q_asof_backward,
@@ -2683,6 +2705,26 @@ def oracle_sql() -> dict[str, str]:
             -- reproduce the original events table, row for row
             SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
             FROM events
+        """,
+        "length_balanced_sample": """
+            WITH ranked AS (
+                SELECT doc_id, n_chars,
+                       row_number() OVER (ORDER BY n_chars, doc_id) AS rnk,
+                       count(*) OVER () AS n
+                FROM documents
+            ), bucketed AS (
+                SELECT doc_id, n_chars,
+                       CAST(((rnk - 1) * 4) // n AS BIGINT) AS bucket
+                FROM ranked
+            ), sampled AS (
+                SELECT doc_id, n_chars, bucket,
+                       row_number() OVER (
+                           PARTITION BY bucket
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM bucketed
+            )
+            SELECT doc_id, n_chars, bucket FROM sampled WHERE rn <= 25
         """,
         "frequent_words": """
             WITH words AS (

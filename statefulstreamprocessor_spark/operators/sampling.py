@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["stratified_topk_sample", "hash_fraction_sample"]
+__all__ = [
+    "stratified_topk_sample",
+    "hash_fraction_sample",
+    "quantile_bucket_sample",
+]
 
 
 def _local_bottomk_reducer(strata: list[str], order_cols: list[str], k: int):
@@ -62,6 +66,55 @@ def stratified_topk_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn", "__ord")
     )
+
+
+def quantile_bucket_sample(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_buckets: int,
+    k: int,
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Length-balanced (or any-numeric-balanced) sampling: rank every row
+    by ``(value, id)``, cut the rank range into ``n_buckets`` equal-count
+    quantile buckets, and keep ``k`` md5-deterministic rows per bucket —
+    the mixture-balancing sampler a training-data pipeline uses to keep
+    short/long documents proportionally represented.
+
+    Both ``value_col`` and ``id_col`` must be non-negative integers with
+    ``id < 2³³`` (they pack into one bigint sort key). The global rank is
+    the distributed two-level prefix-sum scan (``packing.global_cumsum``
+    — never a corpus-wide single-partition ``row_number`` window), the
+    bucket is the exact integer formula ``(rank−1)·n_buckets ÷ n``, and
+    the per-bucket pick is :func:`stratified_topk_sample`'s pre-reduced
+    md5 bottom-k. Output: ``id`` | ``value`` | ``bucket``.
+    """
+    from statefulstreamprocessor_spark.operators.packing import global_cumsum
+
+    key_mult = 1 << 33
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(value_col).alias("value"),
+        (F.col(value_col).cast("bigint") * F.lit(key_mult)
+         + F.col(id_col).cast("bigint")).alias("__key"),
+        F.lit(1).alias("__one"),
+    )
+    # default bucket width: one value-unit of the packed key — rows tie on
+    # value stay in one range bucket; override for very hot single values
+    width = bucket_width or key_mult
+    ranked = global_cumsum(keyed, "__key", "__one", width, out_col="__rank")
+    n_total = keyed.select(F.count(F.lit(1)).alias("__n"))
+    bucketed = ranked.crossJoin(F.broadcast(n_total)).select(
+        "id",
+        "value",
+        # integral `div`, not `/`: double division differs from exact
+        # integer floor-division at 2^53-scale ranks and bucket edges
+        F.expr(
+            f"((__rank - 1) * {int(n_buckets)}) div __n"
+        ).cast("bigint").alias("bucket"),
+    )
+    return stratified_topk_sample(bucketed, "bucket", "id", k)
 
 
 def hash_fraction_sample(

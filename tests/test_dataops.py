@@ -438,6 +438,63 @@ def test_ivf_training_skips_count_when_n_rows_given(spark):
     assert np.array_equal(with_hint, baseline)
 
 
+def test_quantile_bucket_sample_balanced_and_plan(spark):
+    """Buckets are equal-count (NTILE-like via exact integer division over
+    the distributed rank), the per-bucket pick is md5-deterministic, and
+    the plan contains no corpus-wide SinglePartition rank — only the
+    prefix-sum machinery's bucket-totals window."""
+    from statefulstreamprocessor_spark.operators.sampling import (
+        quantile_bucket_sample,
+    )
+
+    rows = [(i, (i * 37) % 500 + 1) for i in range(403)]  # 403 % 4 != 0
+    df = spark.createDataFrame(rows, "doc_id bigint, n_chars bigint").repartition(6)
+    out = quantile_bucket_sample(df, "n_chars", "doc_id", n_buckets=4, k=10)
+    got = out.collect()
+    per_bucket: dict = {}
+    for r in got:
+        per_bucket.setdefault(r["bucket"], []).append((r["value"], r["id"]))
+    assert set(per_bucket) == {0, 1, 2, 3}
+    assert all(len(v) == 10 for v in per_bucket.values())
+    # bucket boundaries respect the (value, id) total order: every row of
+    # bucket b must rank entirely below every row of bucket b+1
+    import hashlib
+
+    full = sorted((c, i) for i, c in rows)
+    rank = {pair: idx for idx, pair in enumerate(full)}
+    bucket_of = {pair: (idx * 4) // len(full) for pair, idx in rank.items()}
+    for b, pairs in per_bucket.items():
+        for pair in pairs:
+            assert bucket_of[pair] == b, (pair, b)
+    # deterministic pick: md5(doc_id) bottom-k within the bucket
+    for b, pairs in per_bucket.items():
+        ids_in_bucket = sorted(
+            (hashlib.md5(str(i).encode()).hexdigest(), i)
+            for (c, i), bb in bucket_of.items()
+            if bb == b
+            for i in [i]
+        )
+        want = {i for _, i in ids_in_bucket[:10]}
+        assert {i for _, i in pairs} == want, b
+    plan = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]  # AQE repeats the tree
+    )
+    # the only data-bearing SinglePartition allowed is the bucket-totals
+    # offsets window; 1-row scalar counts (HashAggregate(keys=[]) parents)
+    # are inherent to any global count and carry one row
+    nonscalar = 0
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Exchange SinglePartition" in l:
+            # a scalar count's exchange feeds FROM a keyless partial agg
+            # (its child, the next tree line); anything else would be data
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            if "HashAggregate(keys=[]" not in child:
+                nonscalar += 1
+    assert nonscalar <= 1, plan
+
+
 def test_frequent_items_matches_exact_groupby(spark):
     """The sketch phase may only ever prune NON-heavy values: output must
     equal the plain GROUP BY ... HAVING cnt*den > n*num, bit for bit,
