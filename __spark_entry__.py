@@ -1148,6 +1148,45 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key sharded sessionization (VERDICT round-3 missing #2):
+    identical semantics to q_sessionize, computed with per-key work
+    split into 2 h time bands — intra-band lag flags plus a per-key
+    window over BAND-LEVEL rows for the cross-band break/offset — so one
+    dominant user parallelizes. Same oracle as the plain form."""
+    from statefulstreamprocessor_spark.operators.sessions import (
+        sessionize_banded,
+    )
+
+    ev = _load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    out = sessionize_banded(
+        ev, "user_id", "ts", "event_id", gap_seconds=1800.0,
+        band_seconds=7200.0,
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        "ts_us",
+        F.col("id").alias("event_id"),
+        "session_idx",
+    )
+
+
+def q_series_derivative_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-series sharded derivative (VERDICT round-3 missing #2): same
+    semantics as q_series_derivative, with each series' timeline in 1 h
+    bands and the band-boundary predecessor carried by a band-level lag."""
+    from statefulstreamprocessor_spark.operators.resample import (
+        series_derivative_banded,
+    )
+
+    ev = _load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    return series_derivative_banded(
+        ev, "user_id", "ts", "value", band_seconds=3600.0
+    )
+
+
 def q_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP pattern match as operator composition: the classic 3-step
     funnel (view → click → purchase, each step within 24 h) is two chained
@@ -1842,6 +1881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "frequent_words": q_frequent_words,
         "length_balanced_sample": q_length_balanced_sample,
+        "sessionize_banded": q_sessionize_banded,
+        "series_derivative_banded": q_series_derivative_banded,
         "nn_pair_join_delta": q_nn_pair_join_delta,
         "nn_pair_join_banded": q_nn_pair_join_banded,
         "asof_backward": q_asof_backward,
@@ -2842,6 +2883,37 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) - 1 AS BIGINT) AS session_idx
             FROM g
+        """,
+        "sessionize_banded": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                   CAST(sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - 1 AS BIGINT) AS session_idx
+            FROM g
+        """,
+        "series_derivative_banded": """
+            WITH obs AS (
+                SELECT user_id AS key,
+                       (epoch_us(ts) // 1000000) AS ts_s, value AS v
+                FROM events WHERE event_type = 'click'
+            ), lagged AS (
+                SELECT key, ts_s, v,
+                       lag(ts_s) OVER w AS p_ts, lag(v) OVER w AS p_v
+                FROM obs WINDOW w AS (PARTITION BY key ORDER BY ts_s, v)
+            )
+            SELECT key, ts_s,
+                   round((v - p_v) / (ts_s - p_ts), 6) + 0 AS dv_dt
+            FROM lagged WHERE p_ts IS NOT NULL AND ts_s > p_ts
         """,
         "funnel_3step": """
             WITH s1m AS (

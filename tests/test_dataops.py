@@ -743,6 +743,90 @@ def test_resample_ffill_chunked_grid_equals_single_chunk(spark):
     assert len(big) == 100 + 1  # series a: slots 0..5940; series b: 1 slot
 
 
+def test_sessionize_banded_equals_plain(spark):
+    """Banded sessionization == plain on randomized hot-key fixtures
+    across band widths — including bands much narrower than the gap,
+    empty bands between events, and duplicate timestamps."""
+    import datetime
+    import random as _rnd
+
+    from statefulstreamprocessor_spark.operators.sessions import (
+        sessionize,
+        sessionize_banded,
+    )
+
+    _rnd.seed(77)
+    t0 = datetime.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    for key in ("hot", "k1", "k2"):
+        n = 400 if key == "hot" else 40
+        t = 0
+        for _ in range(n):
+            # bursts + long silences force sessions; duplicates force ties
+            t += _rnd.choice([0, 30, 300, 2400, 90000])
+            rows.append((key, t0 + datetime.timedelta(seconds=t), eid))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp_ntz, event_id bigint"
+    ).repartition(9)
+
+    def canon(out):
+        return sorted(
+            (r["key"], r["ts_us"], r["id"], r["session_idx"])
+            for r in out.collect()
+        )
+
+    plain = canon(sessionize(df, "k", "ts", "event_id", gap_seconds=1800))
+    for band in (450.0, 1800.0, 7200.0, 10 * 86400.0):
+        banded = canon(
+            sessionize_banded(
+                df, "k", "ts", "event_id", gap_seconds=1800,
+                band_seconds=band,
+            )
+        )
+        assert banded == plain, band
+    # default band width
+    assert canon(
+        sessionize_banded(df, "k", "ts", "event_id", gap_seconds=1800)
+    ) == plain
+
+
+def test_series_derivative_banded_equals_plain(spark):
+    import datetime
+    import random as _rnd
+
+    from statefulstreamprocessor_spark.operators.resample import (
+        series_derivative,
+        series_derivative_banded,
+    )
+
+    _rnd.seed(31)
+    t0 = datetime.datetime(2024, 5, 1)
+    rows = []
+    for key in ("hot", "k1"):
+        n = 300 if key == "hot" else 30
+        t = 0
+        for i in range(n):
+            t += _rnd.choice([0, 7, 61, 3600])
+            rows.append(
+                (key, t0 + datetime.timedelta(seconds=t), float(i % 17))
+            )
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp_ntz, v double"
+    ).repartition(5)
+
+    def canon(out):
+        return sorted(
+            (r["key"], r["ts_s"], r["dv_dt"]) for r in out.collect()
+        )
+
+    plain = canon(series_derivative(df, "k", "ts", "v"))
+    for band in (60.0, 600.0, 10 * 86400.0):
+        got = canon(series_derivative_banded(df, "k", "ts", "v", band))
+        assert got == plain, band
+
+
 def test_group_trend_matches_numpy_lstsq(spark):
     import datetime
 
