@@ -92,6 +92,20 @@ def test_remove_boilerplate_lines_at_threshold_kept(spark):
     assert out == {0: "k\na", 1: "k\nb", 2: "k\nc"}
 
 
+def test_paragraph_dedup_no_window_on_hash(spark):
+    """Winner selection must be the min(struct) AGGREGATE joined back —
+    never a window partitioned by the paragraph hash (a viral duplicate
+    would put its whole occurrence set in one window partition). The
+    whole plan is window-free: reassembly is an aggregation too."""
+    df = _rows(spark, [f"p{i % 7}\n\nq{i}" for i in range(30)])
+    plan = (
+        dedup_paragraphs(df, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
 def test_boilerplate_broadcast_anti_shape(spark):
     """The corpus-side filter must be a broadcast join (the boilerplate
     set is bounded by total_lines/max_df); the corpus rows shuffle only
