@@ -30,7 +30,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["IdempotentBatchSink"]
+__all__ = ["IdempotentBatchSink", "FanoutSink"]
 
 
 class IdempotentBatchSink:
@@ -128,3 +128,79 @@ class IdempotentBatchSink:
             return self.read(spark).count()
         except FileNotFoundError:
             return 0
+
+
+class FanoutSink:
+    """Exactly-once fan-out: ONE micro-batch, N destinations, ONE commit.
+
+    The reference pipeline delivers each joined record to BOTH a Kafka
+    topic and the InfluxDB store (``ts_join_with_kafka_eos.py`` producing
+    the topic that ``db_connector.py:21-66`` consumes); the lakehouse
+    form is a single ``foreachBatch`` feeding several tables (full pairs
+    to one, a projection/rollup to a dashboard table). The hazard is a
+    crash between the per-destination writes: destination A has the
+    epoch, destination B does not. This sink closes it with one SHARED
+    ledger as the only commit point — an epoch is committed only after
+    EVERY destination's deterministic write landed, so a mid-fan-out
+    crash replays the whole epoch (overwrite, idempotent) and readers of
+    any destination see all-or-nothing epochs. Per-destination
+    transforms run on the batch DataFrame (plain batch API inside
+    ``foreachBatch``).
+    """
+
+    def __init__(self, path: str, transforms: dict):
+        """``transforms``: destination name -> callable(batch_df) ->
+        DataFrame (identity = ``lambda df: df``)."""
+        if not transforms:
+            raise ValueError("FanoutSink needs at least one destination")
+        self.path = path
+        self.transforms = dict(transforms)
+        self.ledger_path = os.path.join(path, "ledger.json")
+        self.lineage_path = os.path.join(path, "lineage.jsonl")
+        for name in self.transforms:
+            os.makedirs(os.path.join(path, name, "data"), exist_ok=True)
+
+    committed_batches = IdempotentBatchSink.committed_batches
+    _commit = IdempotentBatchSink._commit
+    _lineage_ids = IdempotentBatchSink._lineage_ids
+
+    def _epoch_dir(self, name: str, batch_id: int) -> str:
+        return os.path.join(self.path, name, "data", f"batch={batch_id}")
+
+    def _append_lineage(self, batch_id: int, counts: dict) -> None:
+        with open(self.lineage_path, "a") as f:
+            f.write(json.dumps({"batch_id": batch_id, "rows": counts}) + "\n")
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_id in self.committed_batches():
+            if batch_id not in self._lineage_ids():  # crash-lost record
+                counts = {
+                    name: spark.read.parquet(
+                        self._epoch_dir(name, batch_id)
+                    ).count()
+                    for name in self.transforms
+                }
+                self._append_lineage(batch_id, counts)
+            return
+        counts = {}
+        for name, fn in self.transforms.items():
+            out = fn(batch_df)
+            epoch_dir = self._epoch_dir(name, batch_id)
+            out.write.mode("overwrite").parquet(epoch_dir)
+            counts[name] = spark.read.parquet(epoch_dir).count()
+        # the ONE commit point, strictly after every destination landed
+        self._commit(batch_id)
+        self._append_lineage(batch_id, counts)
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        if name not in self.transforms:
+            raise KeyError(name)
+        batches = self.committed_batches()
+        if not batches:
+            raise FileNotFoundError(f"no committed epochs under {self.path}")
+        # partition-pruned committed-epoch scan, as in IdempotentBatchSink
+        df = spark.read.parquet(os.path.join(self.path, name, "data")).filter(
+            F.col("batch").isin([int(b) for b in batches])
+        )
+        return df.drop("batch")

@@ -125,6 +125,88 @@ def test_streaming_resume_after_partial_input(spark, webtext_pdf, tmp_path, in_o
     )
 
 
+def test_fanout_sink_all_or_nothing_across_destinations(
+    spark, webtext_pdf, tmp_path
+):
+    """One micro-batch fanned out to two destinations must commit
+    all-or-nothing: a crash AFTER destination 1 wrote but BEFORE
+    destination 2 did leaves the epoch uncommitted, the resumed query
+    replays it into BOTH, and a completed rerun adds zero rows anywhere
+    (the reference's topic+DB dual delivery under one transaction)."""
+    from statefulstreamprocessor_spark.streaming.sink import FanoutSink
+
+    input_dir = _write_webtext_files(str(tmp_path), webtext_pdf, n_files=3)
+    out = str(tmp_path / "fanout")
+    flag = str(tmp_path / "inject_crash")
+
+    def make_sink():
+        sink = FanoutSink(
+            out,
+            {
+                "pairs": lambda df: df,
+                "rollup": lambda df: _rollup(df),
+            },
+        )
+
+        def _rollup(df):
+            # crash between the two destination writes: "pairs" already
+            # landed this epoch when this transform runs
+            if os.path.exists(flag) and len(sink.committed_batches()) >= 1:
+                raise RuntimeError("injected crash mid-fan-out")
+            return df.groupBy("url").agg(F.count(F.lit(1)).alias("n"))
+
+        return sink
+
+    def run(sink):
+        raw = (
+            spark.readStream.schema(
+                "url string, warc_ts timestamp_ntz, side string, "
+                "lang string, text string, html binary"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(input_dir)
+        )
+        q = (
+            raw.select("url", "warc_ts", "side")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(out, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: epoch 0 commits, epoch 1 crashes between the two writes
+    open(flag, "w").close()
+    sink = make_sink()
+    with pytest.raises(Exception):
+        run(sink)
+    committed_after_crash = sink.committed_batches()
+    assert committed_after_crash == [0]
+    # the orphaned epoch-1 "pairs" dir (if written) is NOT visible
+    n_visible = sink.read(spark, "pairs").count()
+
+    # run 2 (resumed, fault cleared): epoch 1+2 replay into BOTH
+    os.remove(flag)
+    sink2 = make_sink()
+    run(sink2)
+    total = len(webtext_pdf)
+    pairs = sink2.read(spark, "pairs")
+    assert pairs.count() == total  # every input row exactly once
+    assert n_visible < total
+    rollup_sum = (
+        sink2.read(spark, "rollup").agg(F.sum("n").alias("s")).first()["s"]
+    )
+    assert rollup_sum == total  # per-epoch rollups cover the same rows
+    # run 3: completed query re-driven -> zero new rows at BOTH
+    sink3 = make_sink()
+    run(sink3)
+    assert sink3.read(spark, "pairs").count() == total
+    assert (
+        sink3.read(spark, "rollup").agg(F.sum("n").alias("s")).first()["s"]
+        == total
+    )
+
+
 def test_extractor_byte_identity(spark, webtext_pdf):
     """input_hint per-row invariant: UDF output byte-identical per url."""
     from statefulstreamprocessor_spark.functions.textops import html_to_text_udf
