@@ -1676,6 +1676,58 @@ def q_stream_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once FAN-OUT: one streaming query delivers each micro-batch
+    to TWO destinations (full event rows + a per-epoch event_type rollup)
+    under a single shared ledger commit (streaming/sink.FanoutSink — the
+    reference's topic+DB dual delivery). The gate reads BOTH back: the
+    full-row destination's count rides along as a column and the rollup
+    destination, re-aggregated across epochs, must equal the plain batch
+    GROUP BY oracle."""
+    import os
+    import tempfile
+
+    from statefulstreamprocessor_spark.sources.staging import (
+        write_time_ordered_chunks,
+    )
+    from statefulstreamprocessor_spark.streaming.sink import FanoutSink
+
+    ev = _load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="ssp_fanout_gate_")
+    in_dir = os.path.join(tmp, "input")
+    write_time_ordered_chunks(ev, in_dir, n_files=3, ts_col="ts")
+    sink = FanoutSink(
+        os.path.join(tmp, "out"),
+        {
+            "rows": lambda df: df,
+            "rollup": lambda df: df.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+        },
+    )
+    raw = (
+        spark.readStream.schema(
+            "event_type string, ts timestamp_ntz, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        raw.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_rows = sink.read(spark, "rows").count()
+    return (
+        sink.read(spark, "rollup")
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"))
+        .withColumn("total_rows", F.lit(int(n_rows)))
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (video-pipeline shape): fixed
     32-byte frames, every 4th kept, emitted as (doc_id, frame_idx,
@@ -1883,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_balanced_sample": q_length_balanced_sample,
         "sessionize_banded": q_sessionize_banded,
         "series_derivative_banded": q_series_derivative_banded,
+        "stream_fanout": q_stream_fanout,
         "nn_pair_join_delta": q_nn_pair_join_delta,
         "nn_pair_join_banded": q_nn_pair_join_banded,
         "asof_backward": q_asof_backward,
@@ -2746,6 +2799,12 @@ def oracle_sql() -> dict[str, str]:
             -- reproduce the original events table, row for row
             SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
             FROM events
+        """,
+        "stream_fanout": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   (SELECT CAST(count(*) AS BIGINT) FROM events)
+                       AS total_rows
+            FROM events GROUP BY event_type
         """,
         "length_balanced_sample": """
             WITH ranked AS (
