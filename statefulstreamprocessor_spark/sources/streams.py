@@ -26,6 +26,9 @@ __all__ = [
     "kafka_like_stream",
     "deserialize_kafka_json",
     "KAFKA_WIRE_DDL",
+    "mqtt_like_stream",
+    "mqtt_qos2_exactly_once",
+    "MQTT_WIRE_DDL",
 ]
 
 # Kafka's exact wire schema (what spark-sql-kafka exposes) — the broker-free
@@ -114,6 +117,57 @@ def kafka_like_stream(
         spark.readStream.schema(KAFKA_WIRE_DDL)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
+    )
+
+
+# MQTT PUBLISH wire fields (packet id + DUP flag are what the QoS 2
+# handshake dedups on); the broker-free stand-in below produces them
+MQTT_WIRE_DDL = (
+    "packet_id bigint, topic string, payload string, qos int, "
+    "dup boolean, publish_ts timestamp_ntz"
+)
+
+
+def mqtt_like_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Broker-free MQTT contract stand-in (S3, reference
+    ``01_Simulator/simulator.py`` publishing with ``qos=2``): a file
+    stream carrying the PUBLISH wire fields. Wire-level redeliveries —
+    what QoS 2's PUBREC/PUBREL/PUBCOMP handshake exists to absorb when an
+    ack is lost — appear as additional rows with the SAME ``packet_id``
+    and ``dup=true``, exactly how a resumed MQTT session retransmits.
+    Pair with :func:`mqtt_qos2_exactly_once` for the application-visible
+    exactly-once contract."""
+    return (
+        spark.readStream.schema(MQTT_WIRE_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def mqtt_qos2_exactly_once(
+    df: DataFrame,
+    ts_col: str = "publish_ts",
+    redelivery_window: str = "1 hour",
+) -> DataFrame:
+    """QoS 2 receiver semantics: each ``packet_id`` reaches the
+    application EXACTLY ONCE no matter how often the wire redelivered it.
+
+    A real broker holds the packet id in session state until PUBCOMP;
+    here the state is Spark's watermarked dedup state —
+    ``dropDuplicatesWithinWatermark`` on the packet id, evicted once the
+    watermark passes ``redelivery_window`` (the broker's in-flight window
+    analogue), so state is bounded exactly like the broker's. Combined
+    with the checkpoint, the contract survives kill-and-resume: a
+    redelivery straddling a consumer restart is still dropped (pytest
+    drives that path)."""
+    # watermarks require TIMESTAMP (not NTZ); the dedup key itself is
+    # timezone-independent, so the cast only drives state eviction
+    return (
+        df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, redelivery_window)
+        .dropDuplicatesWithinWatermark(["packet_id"])
     )
 
 

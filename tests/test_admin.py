@@ -208,3 +208,70 @@ def test_kafka_contract_offsets_survive_resume(spark, tmp_path):
     assert got2 == [(0, o) for o in range(20)], "offset gap or duplicate"
     # deserializer typed the payload and kept lineage
     assert all(r["thing"] == "t1" and r["v"] == float(r["offset"]) for r in rows)
+
+
+def test_mqtt_qos2_contract_dedups_redeliveries_across_resume(spark, tmp_path):
+    """S3's observable QoS 2 contract, broker-free: wire-level
+    redeliveries (same packet_id, dup=true — what a lost PUBREC/PUBCOMP
+    causes) reach the application EXACTLY ONCE, including a redelivery
+    that straddles a consumer kill-and-resume (dedup state lives in the
+    checkpoint)."""
+    import datetime
+
+    from statefulstreamprocessor_spark.sources.streams import (
+        mqtt_like_stream,
+        mqtt_qos2_exactly_once,
+    )
+    from statefulstreamprocessor_spark.streaming.sink import IdempotentBatchSink
+
+    t0 = datetime.datetime(2024, 6, 1)
+
+    def msgs(ids, dup_ids, offset_s=0):
+        rows = [
+            (i, "machine/temp", f"payload-{i}", 2, False,
+             t0 + datetime.timedelta(seconds=i + offset_s))
+            for i in ids
+        ] + [
+            (i, "machine/temp", f"payload-{i}", 2, True,
+             t0 + datetime.timedelta(seconds=i + offset_s + 1))
+            for i in dup_ids
+        ]
+        return spark.createDataFrame(
+            rows,
+            "packet_id bigint, topic string, payload string, qos int, "
+            "dup boolean, publish_ts timestamp_ntz",
+        )
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # file 0: packets 0-9, with 3 and 7 redelivered inside the same file
+    msgs(range(0, 10), [3, 7]).coalesce(1).write.mode("append").parquet(in_dir)
+    out = str(tmp_path / "out")
+
+    def run():
+        stream = mqtt_like_stream(spark, in_dir, max_files_per_trigger=1)
+        sink = IdempotentBatchSink(out)
+        q = (
+            mqtt_qos2_exactly_once(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(out, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sink
+
+    s1 = run()
+    got1 = sorted(r["packet_id"] for r in s1.read(spark).collect())
+    assert got1 == list(range(10))
+    # consumer dies; the session redelivers 8 and 9 (dup=true) alongside
+    # new packets 10-14 — the restart must still drop them
+    msgs(range(10, 15), [8, 9], offset_s=2).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    s2 = run()
+    rows = s2.read(spark).collect()
+    got2 = sorted(r["packet_id"] for r in rows)
+    assert got2 == list(range(15)), "redelivered packet leaked or lost"
+    payloads = {r["packet_id"]: r["payload"] for r in rows}
+    assert all(payloads[i] == f"payload-{i}" for i in range(15))
