@@ -1044,6 +1044,28 @@ def q_frequent_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_items(words, "word", num=1, den=50)
 
 
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText KEEP/DROP verdict itself (the rule bundle
+    the quality stats feed): token-count window, mean-token-length
+    window, stopword-presence test — each an auditable reason in a
+    stable comma-joined string. min_stopword_hits=1 keeps the oracle
+    robust to set-vs-bag intersection semantics (only zero/nonzero
+    matters). Pure scalar expressions, zero exchanges."""
+    from statefulstreamprocessor_spark.functions.textops import (
+        gopher_verdict_cols,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    v = gopher_verdict_cols(
+        F.col("text"), min_tokens=40, min_stopword_hits=1
+    )
+    return docs.select(
+        "doc_id",
+        v["keep"].alias("keep"),
+        v["drop_reasons"].alias("drop_reasons"),
+    )
+
+
 def q_decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination, exact form: drop training docs whose
     content fingerprint appears in the (small, broadcast) eval set —
@@ -1812,6 +1834,66 @@ def q_tumbling_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_1h_15m_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1 h / 15 min window counts in STREAMING mode (availableNow
+    + 0 s watermark + append output), pinned to the same DuckDB oracle as
+    the batch q_sliding_1h_15m — completing the streaming trio
+    (tumbling/session/sliding). The punctuation row (2 h past max ts)
+    closes every real window; all four of its own overlapping windows
+    start strictly after the last real timestamp and are filtered from
+    the RESULT (a pre-agg filter would be pushed below the watermark
+    node and stall it — see q_tumbling_hourly_streaming)."""
+    import datetime
+    import os
+    import tempfile
+
+    from statefulstreamprocessor_spark.sources.staging import (
+        append_flush_file,
+        write_time_ordered_chunks,
+    )
+
+    ev = _load(spark, sf_dir, "events").select("event_type", "ts")
+    tmp = tempfile.mkdtemp(prefix="ssp_sliding_gate_")
+    in_dir = os.path.join(tmp, "input")
+    idx = write_time_ordered_chunks(ev, in_dir, n_files=3, ts_col="ts")
+    mx = ev.agg(F.max("ts").alias("m")).first()["m"]
+    flush = spark.createDataFrame(
+        [("__punctuation__", mx + datetime.timedelta(hours=2))],
+        "event_type string, ts timestamp_ntz",
+    )
+    append_flush_file(flush, in_dir, idx)
+    raw = (
+        spark.readStream.schema("event_type string, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    agg = (
+        raw.select("event_type", F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out_dir = os.path.join(tmp, "out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(tmp, "checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(out_dir)
+    return res.filter(
+        (F.col("event_type") != "__punctuation__")
+        & (F.col("window.start").cast("timestamp_ntz") <= F.lit(mx))
+    ).select(
+        _us(F.col("window.start").cast("timestamp_ntz")).alias("ws_us"),
+        "event_type",
+        "n",
+    )
+
+
 def q_session_30m_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30 min gap, per user) in STREAMING mode — Spark's
     session_window state merged incrementally across availableNow
@@ -1936,6 +2018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_banded": q_sessionize_banded,
         "series_derivative_banded": q_series_derivative_banded,
         "stream_fanout": q_stream_fanout,
+        "sliding_1h_15m_streaming": q_sliding_1h_15m_streaming,
+        "gopher_filter": q_gopher_filter,
         "nn_pair_join_delta": q_nn_pair_join_delta,
         "nn_pair_join_banded": q_nn_pair_join_banded,
         "asof_backward": q_asof_backward,
@@ -2354,6 +2438,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) k
             GROUP BY 1, 2
         """,
+        "sliding_1h_15m_streaming": """
+            SELECT epoch_us(time_bucket(INTERVAL 15 MINUTES, ts)
+                            - k.k * INTERVAL 15 MINUTES) AS ws_us,
+                   event_type, count(*) AS n
+            FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) k
+            GROUP BY 1, 2
+        """,
         "session_30m": """
             WITH marked AS (
                 SELECT user_id, ts,
@@ -2645,6 +2736,39 @@ def oracle_sql() -> dict[str, str]:
                    round(f.n_chars / greatest(f.n_tokens, 1), 6) AS mean_token_len,
                    md5(d.text) AS fp_md5
             FROM feats f JOIN documents d USING (doc_id)
+        """,
+        "gopher_filter": """
+            WITH base AS (
+                SELECT doc_id, trim(text) AS t, lower(trim(text)) AS lt
+                FROM documents
+            ), feats AS (
+                SELECT doc_id,
+                    CASE WHEN length(t) = 0 THEN 0
+                         ELSE len(string_split_regex(t, '\\s+')) END
+                        AS n_tokens,
+                    round(length(t) / greatest(
+                        CASE WHEN length(t) = 0 THEN 0
+                             ELSE len(string_split_regex(t, '\\s+')) END,
+                        1), 6) AS mean_token_len,
+                    len(list_intersect(
+                        string_split_regex(lt, '\\s+'),
+                        ['the','and','of','to','is','in','that','with',
+                         'for','was'])) AS stop_hits
+                FROM base
+            ), checks AS (
+                SELECT doc_id, concat_ws(',',
+                    CASE WHEN n_tokens < 40 THEN 'too_few_tokens' END,
+                    CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
+                    CASE WHEN mean_token_len < 3.0
+                         THEN 'mean_token_len_low' END,
+                    CASE WHEN mean_token_len > 10.0
+                         THEN 'mean_token_len_high' END,
+                    CASE WHEN stop_hits < 1 THEN 'too_few_stopwords' END
+                ) AS drop_reasons
+                FROM feats
+            )
+            SELECT doc_id, drop_reasons = '' AS keep, drop_reasons
+            FROM checks
         """,
         "salted_agg": """
             SELECT event_type, count(*) AS n,

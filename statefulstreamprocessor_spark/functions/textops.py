@@ -118,6 +118,49 @@ def quality_score_cols(text_col):
     }
 
 
+def gopher_verdict_cols(
+    text_col,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 10.0,
+    min_stopword_hits: int = 2,
+):
+    """Gopher/MassiveText-style KEEP/DROP verdict as pure column
+    expressions — the actual corpus filter the stats feed (the
+    repetition/quality STATS live in ``operators/quality`` and
+    :func:`quality_score_cols`; this is the rule bundle with an
+    auditable reason string).
+
+    Rules (each a deterministic threshold on the shared tokenization):
+    token count inside [min_tokens, max_tokens]; mean token length
+    inside [min_mean_token_len, max_mean_token_len]; at least
+    ``min_stopword_hits`` distinct English stopword hits (the
+    "contains common words" prose test). Output columns: ``keep``
+    boolean + ``drop_reasons`` (comma-joined stable order, '' when
+    kept) — strings, not arrays, so driver-gate canonicalization holds.
+    Zero exchanges: everything is a scalar expression over the row.
+    """
+    q = quality_score_cols(text_col)
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    stop_hits = F.size(
+        F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+        )
+    )
+    checks = [
+        ("too_few_tokens", q["n_tokens"] < min_tokens),
+        ("too_many_tokens", q["n_tokens"] > max_tokens),
+        ("mean_token_len_low", q["mean_token_len"] < min_mean_token_len),
+        ("mean_token_len_high", q["mean_token_len"] > max_mean_token_len),
+        ("too_few_stopwords", stop_hits < min_stopword_hits),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in checks]
+    )
+    return {"keep": reasons == "", "drop_reasons": reasons}
+
+
 _STOPWORDS = {
     "en": ["the", "and", "of", "to", "is", "in", "that", "with", "for", "was"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von"],

@@ -322,3 +322,38 @@ def test_pii_scrub_randomized_vs_python(spark):
         np_ = len(_re.findall(PII_PHONE_PATTERN, t2))
         t3 = _re.sub(PII_PHONE_PATTERN, "<PHONE>", t2)
         assert got[i] == (ne, np_, t3), (i, t)
+
+
+def test_gopher_verdict_cols(spark):
+    """Each rule fires independently with its auditable reason; a clean
+    prose-like doc keeps."""
+    from pyspark.sql import functions as F
+
+    from statefulstreamprocessor_spark.functions.textops import (
+        gopher_verdict_cols,
+    )
+
+    good = "the " + " ".join(f"word{i}" for i in range(60))
+    rows = [
+        (0, good),                                   # keep
+        (1, "the quick fox"),                        # too few tokens
+        (2, "the " + " ".join(["x"] * 60)),          # mean token len low
+        (3, " ".join(f"word{i}" for i in range(60))),  # no stopwords
+        (4, "a " + " ".join(["abcdefghijklmnop"] * 60)),  # mean len high + no stopword
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    v = gopher_verdict_cols(
+        F.col("t"), min_tokens=40, min_stopword_hits=1
+    )
+    got = {
+        r["id"]: (r["keep"], r["drop_reasons"])
+        for r in df.select(
+            "id", v["keep"].alias("keep"),
+            v["drop_reasons"].alias("drop_reasons"),
+        ).collect()
+    }
+    assert got[0] == (True, "")
+    assert got[1] == (False, "too_few_tokens")
+    assert got[2] == (False, "mean_token_len_low")
+    assert got[3] == (False, "too_few_stopwords")
+    assert got[4] == (False, "mean_token_len_high,too_few_stopwords")
