@@ -1044,6 +1044,27 @@ def q_frequent_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_items(words, "word", num=1, den=50)
 
 
+def q_doc_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n-gram half of the Gopher repetition rules: per-doc bigram
+    occurrence counts, dup share and top-gram share. Spark carries grams
+    as xxhash64 of the token window; the oracle rebuilds them as
+    unit-separator-joined strings — ratios identical absent 64-bit
+    collisions (the q:decontaminate_ngram argument)."""
+    from statefulstreamprocessor_spark.operators.quality import (
+        ngram_repetition_stats,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    out = ngram_repetition_stats(docs, "text", "doc_id", n=2)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_grams",
+        "n_distinct_ngrams",
+        "dup_ngram_ratio",
+        "top_ngram_ratio",
+    )
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher/MassiveText KEEP/DROP verdict itself (the rule bundle
     the quality stats feed): token-count window, mean-token-length
@@ -2020,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_fanout": q_stream_fanout,
         "sliding_1h_15m_streaming": q_sliding_1h_15m_streaming,
         "gopher_filter": q_gopher_filter,
+        "doc_ngram_repetition": q_doc_ngram_repetition,
         "nn_pair_join_delta": q_nn_pair_join_delta,
         "nn_pair_join_banded": q_nn_pair_join_banded,
         "asof_backward": q_asof_backward,
@@ -2736,6 +2758,33 @@ def oracle_sql() -> dict[str, str]:
                    round(f.n_chars / greatest(f.n_tokens, 1), 6) AS mean_token_len,
                    md5(d.text) AS fp_md5
             FROM feats f JOIN documents d USING (doc_id)
+        """,
+        "doc_ngram_repetition": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS t
+                FROM documents WHERE text IS NOT NULL
+            ), pos AS (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 1, 1) + 1)) AS i
+                FROM toks
+            ), grams AS (
+                SELECT doc_id,
+                       array_to_string(
+                           t[i : least(i + 1, len(t))], chr(31)
+                       ) AS g
+                FROM pos
+            ), gc AS (
+                SELECT doc_id, g, count(*) AS cnt
+                FROM grams GROUP BY doc_id, g
+            )
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_grams,
+                   CAST(count(*) AS BIGINT) AS n_distinct_ngrams,
+                   round((sum(cnt) - count(*)) / sum(cnt), 6)
+                       AS dup_ngram_ratio,
+                   round(max(cnt) / sum(cnt), 6) AS top_ngram_ratio
+            FROM gc GROUP BY doc_id
         """,
         "gopher_filter": """
             WITH base AS (

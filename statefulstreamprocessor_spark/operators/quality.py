@@ -70,3 +70,58 @@ def word_repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFram
             "top_word_ratio"
         ),
     )
+
+
+def ngram_repetition_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2
+) -> DataFrame:
+    """Per-document word-n-gram repetition statistics — the n-gram half
+    of the Gopher/MassiveText repetition rules (word-level lives in
+    :func:`word_repetition_stats`): documents dominated by a few repeated
+    n-grams are templated boilerplate even when individual words vary.
+
+    Output: ``id`` | ``n_grams`` (positional occurrences) |
+    ``n_distinct_ngrams`` | ``dup_ngram_ratio`` (fraction of occurrences
+    repeating an earlier identical n-gram) | ``top_ngram_ratio``
+    (most-frequent n-gram's share).
+
+    Grams ride as 64-bit xxhash of the token window (never materialized
+    as strings — the :func:`~statefulstreamprocessor_spark.operators.dedup.ngram_jaccard_pairs`
+    discipline; the ratios are identical to the string formulation absent
+    64-bit collisions, which is how the DuckDB oracle checks them). Same
+    two pre-reduced exchanges as the word form; no windows, no Python.
+    Documents shorter than ``n`` tokens contribute one shorter gram
+    (the full token list), mirroring ngram_jaccard_pairs.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.xxhash64(F.slice(toks, i + 1, n)),
+    )
+    grams = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(grams_arr).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    gc = grams.groupBy("id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    out = gc.groupBy("id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_ngrams"),
+        F.max("cnt").alias("_topc"),
+    )
+    return out.select(
+        "id",
+        "n_grams",
+        "n_distinct_ngrams",
+        F.round(
+            (F.col("n_grams") - F.col("n_distinct_ngrams"))
+            / F.col("n_grams"),
+            6,
+        ).alias("dup_ngram_ratio"),
+        F.round(F.col("_topc") / F.col("n_grams"), 6).alias(
+            "top_ngram_ratio"
+        ),
+    )

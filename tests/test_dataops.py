@@ -495,6 +495,35 @@ def test_quantile_bucket_sample_balanced_and_plan(spark):
     assert nonscalar <= 1, plan
 
 
+def test_ngram_repetition_stats(spark):
+    """Hand fixture: 'a b a b a' bigrams = [ab, ba, ab, ba] -> 4 grams,
+    2 distinct, dup 0.5, top 0.5; a templated doc is dominated by one
+    gram; a short doc contributes one sub-n gram."""
+    from statefulstreamprocessor_spark.operators.quality import (
+        ngram_repetition_stats,
+    )
+
+    rows = [
+        (0, "a b a b a"),
+        (1, "x y " * 30 + "z"),   # heavy 'x y' repetition
+        (2, "solo"),              # shorter than n: one 1-token gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["id"]: r
+        for r in ngram_repetition_stats(df, "text", "doc_id", n=2).collect()
+    }
+    assert (got[0]["n_grams"], got[0]["n_distinct_ngrams"]) == (4, 2)
+    assert got[0]["dup_ngram_ratio"] == 0.5
+    assert got[0]["top_ngram_ratio"] == 0.5
+    # doc 1: tokens x y x y ... x y z (61 tokens) -> 60 bigrams:
+    # 'x y' x30, 'y x' x29, 'y z' x1
+    assert (got[1]["n_grams"], got[1]["n_distinct_ngrams"]) == (60, 3)
+    assert got[1]["top_ngram_ratio"] == 0.5
+    assert (got[2]["n_grams"], got[2]["n_distinct_ngrams"]) == (1, 1)
+    assert got[2]["dup_ngram_ratio"] == 0.0
+
+
 def test_frequent_items_matches_exact_groupby(spark):
     """The sketch phase may only ever prune NON-heavy values: output must
     equal the plain GROUP BY ... HAVING cnt*den > n*num, bit for bit,
