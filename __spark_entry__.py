@@ -940,6 +940,21 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("ord", F.col("ord").cast("bigint"))
 
 
+def q_winnow_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level near-dup candidates: doc pairs sharing ≥5 distinct
+    winnowing fingerprints (bucket-capped at the 16 smallest ids, the
+    simhash treatment). The oracle recomputes the fingerprints in
+    HUGEINT SQL and replays the identical cap + pair count."""
+    from statefulstreamprocessor_spark.operators.dedup import (
+        winnow_shared_pairs,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    return winnow_shared_pairs(
+        docs, "text", "doc_id", min_shared=5, max_bucket_size=16
+    )
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global paragraph dedup (C4-style structure cleaning): documents
     are built with three planted paragraphs — a per-source INTRO (shared
@@ -2042,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_1h_15m_streaming": q_sliding_1h_15m_streaming,
         "gopher_filter": q_gopher_filter,
         "doc_ngram_repetition": q_doc_ngram_repetition,
+        "winnow_shared_pairs": q_winnow_shared_pairs,
         "nn_pair_join_delta": q_nn_pair_join_delta,
         "nn_pair_join_banded": q_nn_pair_join_banded,
         "asof_backward": q_asof_backward,
@@ -2355,6 +2371,73 @@ SELECT user_id, epoch_us(r_ts) AS r_ts_us, r_event_id, r_value,
        epoch_us(s_ts) AS s_ts_us, s_event_id, s_value
 FROM pairs
 {extra_where}
+"""
+
+
+# winnowing fingerprints in portable SQL (shared by the per-doc
+# fingerprint gate and the shared-substring pair gate): the uint64
+# rolling hash recomputed in HUGEINT, window-min + positional dedup.
+_WINNOW_FPS_SQL = """
+            -- recompute the uint64 rolling-hash winnowing in HUGEINT:
+            -- g(i) = sum_t c_{i+t} * (B^-t mod 2^64)  (terms < 2^72), then
+            -- window-min with leftmost tie (struct min) + positional dedup.
+            -- The len = octet_length guard drops (and thereby loudly
+            -- row-count-fails on) any non-ASCII doc, where codepoint math
+            -- would diverge from the kernel's UTF-8 bytes.
+            WITH src AS (
+                SELECT doc_id, text FROM documents
+                WHERE text IS NOT NULL AND len(text) >= 8
+                  AND len(text) = octet_length(encode(text))
+            ), chars AS (
+                SELECT doc_id, unnest(range(len(text))) AS i,
+                       len(text) AS n, text
+                FROM src
+            ), coded AS (
+                SELECT doc_id, i, n,
+                       CAST(unicode(substring(text, CAST(i + 1 AS INT), 1))
+                            AS HUGEINT) AS c
+                FROM chars
+            ), g AS (
+                SELECT doc_id, i, n - 7 AS m,
+                       (c * 1
+                        + lead(c, 1) OVER w * 14886173955864302971
+                        + lead(c, 2) OVER w * 5772919263093090585
+                        + lead(c, 3) OVER w * 11164797169880796163
+                        + lead(c, 4) OVER w * 12758571492279420017
+                        + lead(c, 5) OVER w * 13441252082715354955
+                        + lead(c, 6) OVER w * 17512853380173678601
+                        + lead(c, 7) OVER w * 3985727619402684755
+                       ) % CAST('18446744073709551616' AS HUGEINT) AS gv
+                FROM coded
+                WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+                QUALIFY i <= n - 8
+            ), selA AS (  -- m >= 4: standard windows j = 0 .. m-4
+                SELECT doc_id, i AS j,
+                       min({'g': gv, 'i': i}) OVER (
+                           PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+                FROM g WHERE m >= 4
+                QUALIFY j <= m - 4
+            ), selB AS (  -- 1 <= m < 4: one window over all k-grams
+                SELECT doc_id, 0 AS j, min({'g': gv, 'i': i}) AS sel
+                FROM g WHERE m < 4 GROUP BY doc_id
+            ), sel AS (
+                SELECT * FROM selA UNION ALL SELECT * FROM selB
+            ), kept AS (
+                SELECT doc_id, j, sel,
+                       lag(sel.i) OVER (
+                           PARTITION BY doc_id ORDER BY j) AS prev_pos
+                FROM sel
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY j) - 1 AS BIGINT) AS ord,
+                   CAST(CASE WHEN sel.g >=
+                                  CAST('9223372036854775808' AS HUGEINT)
+                             THEN sel.g
+                                  - CAST('18446744073709551616' AS HUGEINT)
+                             ELSE sel.g END AS BIGINT) AS fp
+            FROM kept WHERE prev_pos IS NULL OR prev_pos != sel.i
 """
 
 
@@ -3284,67 +3367,25 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value
             FROM events GROUP BY 1, 2
         """,
-        "winnow_fingerprints": """
-            -- recompute the uint64 rolling-hash winnowing in HUGEINT:
-            -- g(i) = sum_t c_{i+t} * (B^-t mod 2^64)  (terms < 2^72), then
-            -- window-min with leftmost tie (struct min) + positional dedup.
-            -- The len = octet_length guard drops (and thereby loudly
-            -- row-count-fails on) any non-ASCII doc, where codepoint math
-            -- would diverge from the kernel's UTF-8 bytes.
-            WITH src AS (
-                SELECT doc_id, text FROM documents
-                WHERE text IS NOT NULL AND len(text) >= 8
-                  AND len(text) = octet_length(encode(text))
-            ), chars AS (
-                SELECT doc_id, unnest(range(len(text))) AS i,
-                       len(text) AS n, text
-                FROM src
-            ), coded AS (
-                SELECT doc_id, i, n,
-                       CAST(unicode(substring(text, CAST(i + 1 AS INT), 1))
-                            AS HUGEINT) AS c
-                FROM chars
-            ), g AS (
-                SELECT doc_id, i, n - 7 AS m,
-                       (c * 1
-                        + lead(c, 1) OVER w * 14886173955864302971
-                        + lead(c, 2) OVER w * 5772919263093090585
-                        + lead(c, 3) OVER w * 11164797169880796163
-                        + lead(c, 4) OVER w * 12758571492279420017
-                        + lead(c, 5) OVER w * 13441252082715354955
-                        + lead(c, 6) OVER w * 17512853380173678601
-                        + lead(c, 7) OVER w * 3985727619402684755
-                       ) % CAST('18446744073709551616' AS HUGEINT) AS gv
-                FROM coded
-                WINDOW w AS (PARTITION BY doc_id ORDER BY i)
-                QUALIFY i <= n - 8
-            ), selA AS (  -- m >= 4: standard windows j = 0 .. m-4
-                SELECT doc_id, i AS j,
-                       min({'g': gv, 'i': i}) OVER (
-                           PARTITION BY doc_id ORDER BY i
-                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
-                FROM g WHERE m >= 4
-                QUALIFY j <= m - 4
-            ), selB AS (  -- 1 <= m < 4: one window over all k-grams
-                SELECT doc_id, 0 AS j, min({'g': gv, 'i': i}) AS sel
-                FROM g WHERE m < 4 GROUP BY doc_id
-            ), sel AS (
-                SELECT * FROM selA UNION ALL SELECT * FROM selB
-            ), kept AS (
-                SELECT doc_id, j, sel,
-                       lag(sel.i) OVER (
-                           PARTITION BY doc_id ORDER BY j) AS prev_pos
-                FROM sel
+        "winnow_fingerprints": _WINNOW_FPS_SQL,
+        "winnow_shared_pairs": f"""
+            WITH fps AS ({_WINNOW_FPS_SQL}
+            ), dfp AS (
+                SELECT DISTINCT doc_id, fp FROM fps
+            ), ranked AS (
+                SELECT fp, doc_id,
+                       row_number() OVER (
+                           PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM dfp
+            ), capped AS (
+                SELECT fp, doc_id FROM ranked WHERE rn <= 16
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM capped a JOIN capped b
+                  ON a.fp = b.fp AND a.doc_id < b.doc_id
             )
-            SELECT doc_id,
-                   CAST(row_number() OVER (
-                       PARTITION BY doc_id ORDER BY j) - 1 AS BIGINT) AS ord,
-                   CAST(CASE WHEN sel.g >=
-                                  CAST('9223372036854775808' AS HUGEINT)
-                             THEN sel.g
-                                  - CAST('18446744073709551616' AS HUGEINT)
-                             ELSE sel.g END AS BIGINT) AS fp
-            FROM kept WHERE prev_pos IS NULL OR prev_pos != sel.i
+            SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+            FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5
         """,
         "pack_sequences": """
             WITH t AS (

@@ -464,3 +464,69 @@ def ngram_jaccard_pairs(
     return inter.select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+def winnow_shared_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_shared: int = 5,
+    k: int = 8,
+    window: int = 4,
+    max_bucket_size: int = 16,
+) -> DataFrame:
+    """Substring-level near-dup candidates by SHARED WINNOWING
+    FINGERPRINTS (the MOSS/"deduplicating training data" shape): two
+    documents sharing ``min_shared`` selected k-gram fingerprints overlap
+    in real substrings even when word-level similarity is low — the
+    plagiarism/quotation/template case the set-based dedups miss.
+
+    Output: ``id_a`` | ``id_b`` | ``n_shared`` (distinct shared
+    fingerprints, ≥ min_shared).
+
+    Physical shape mirrors :func:`simhash_candidates`: per-doc DISTINCT
+    fingerprints (vectorized numpy rolling-hash UDF) → ONE hash exchange
+    on the fingerprint → per-bucket sorted id list deterministically
+    truncated at ``max_bucket_size`` smallest ids (a boilerplate
+    substring shared by d docs is a d²/2 hot key otherwise — the cap is
+    the explicit recall/cost knob, observable via the
+    ``winnow_capped_buckets`` ``observe()`` metric) → bounded
+    ordered-pair explode → map-side-combinable pair count.
+    """
+    from statefulstreamprocessor_spark.functions.textops import (
+        winnow_fingerprints_udf,
+    )
+
+    fp_udf = winnow_fingerprints_udf(k, window)
+    fps = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(
+                F.array_distinct(fp_udf(F.col(text_col)))
+            ).alias("fp"),
+        )
+        .filter(F.col("fp").isNotNull())
+    )
+    grouped = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .observe(
+            f"winnow_pairs_cap_{k}_{window}_{max_bucket_size}",
+            F.count(F.when(F.size("ids") > max_bucket_size, 1)).alias(
+                "winnow_capped_buckets"
+            ),
+        )
+        .withColumn("ids", F.slice("ids", 1, max_bucket_size))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = (
+        grouped.select("ids", F.explode("ids").alias("a"))
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+    )
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
