@@ -93,11 +93,31 @@ def quantile_bucket_sample(
     from statefulstreamprocessor_spark.operators.packing import global_cumsum
 
     key_mult = 1 << 33
+    in_range = (
+        (F.col(value_col) >= 0)
+        & (F.col(id_col) >= 0)
+        & (F.col(id_col) < F.lit(key_mult))
+    )
+    key = (
+        F.col(value_col).cast("bigint") * F.lit(key_mult)
+        + F.col(id_col).cast("bigint")
+    )
     keyed = df.select(
         F.col(id_col).alias("id"),
         F.col(value_col).alias("value"),
-        (F.col(value_col).cast("bigint") * F.lit(key_mult)
-         + F.col(id_col).cast("bigint")).alias("__key"),
+        # guard INSIDE the key expression (a free-standing assert column
+        # would be pruned): out-of-range inputs fail loudly instead of
+        # silently mis-ranking
+        F.when(in_range, key)
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "quantile_bucket_sample requires value >= 0 and "
+                    "0 <= id < 2^33"
+                )
+            ).cast("bigint")
+        )
+        .alias("__key"),
         F.lit(1).alias("__one"),
     )
     # default bucket width: one value-unit of the packed key — rows tie on

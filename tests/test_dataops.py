@@ -494,6 +494,11 @@ def test_quantile_bucket_sample_balanced_and_plan(spark):
                 nonscalar += 1
     assert nonscalar <= 1, plan
 
+    # out-of-range inputs fail loudly, never silently mis-rank
+    bad = spark.createDataFrame([(5, -3)], "doc_id bigint, n_chars bigint")
+    with pytest.raises(Exception, match="quantile_bucket_sample requires"):
+        quantile_bucket_sample(bad, "n_chars", "doc_id", 2, 1).collect()
+
 
 def test_ngram_repetition_stats(spark):
     """Hand fixture: 'a b a b a' bigrams = [ab, ba, ab, ba] -> 4 grams,
