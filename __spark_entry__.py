@@ -940,6 +940,59 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("ord", F.col("ord").cast("bigint"))
 
 
+def q_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END cleaning pipeline COMPOSITION — the full webtext
+    preparation chain as one lazily-composed query plan:
+
+      1. structure: planted NAV/PROMO boilerplate lines removed
+         (broadcast anti over the bounded >max_df line set);
+      2. quality: Gopher keep/drop verdict on the CLEANED text;
+      3. exact dedup: first doc per cleaned-text hash survives;
+      4. decontamination: LEFT ANTI against the (broadcast) eval set
+         fingerprint (every 13th doc's cleaned text).
+
+    Each stage is an operator the gate already verifies in isolation;
+    this query pins that they COMPOSE (column contracts, no
+    materialization barriers — one plan, Catalyst optimizes across
+    stages). Output: surviving doc_id + md5 of the cleaned text."""
+    from statefulstreamprocessor_spark.functions.textops import (
+        gopher_verdict_cols,
+    )
+    from statefulstreamprocessor_spark.operators.docclean import (
+        remove_boilerplate_lines,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    built = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("NAV "), F.col("source")),
+            F.concat(F.lit("BODY "), F.substring("text", 1, 200)),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("PROMO SALE")),
+        ).alias("text"),
+    )
+    cleaned = remove_boilerplate_lines(
+        built, "text", "doc_id", max_df=10
+    ).select(F.col("id").alias("doc_id"), F.col("text").alias("clean_text"))
+    v = gopher_verdict_cols(
+        F.col("clean_text"), min_tokens=20, min_stopword_hits=0
+    )
+    kept = cleaned.select(
+        "doc_id", "clean_text", v["keep"].alias("keep")
+    ).filter(F.col("keep"))
+    fp = kept.select("doc_id", F.md5("clean_text").alias("fp"))
+    first = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = fp.join(
+        first.withColumnRenamed("doc_id", "__w"), "fp"
+    ).filter(F.col("doc_id") == F.col("__w")).select("doc_id", "fp")
+    evalset = F.broadcast(
+        deduped.filter(F.col("doc_id") % 13 == 0).select("fp").distinct()
+    )
+    out = deduped.join(evalset, "fp", "left_anti")
+    return out.select("doc_id", "fp")
+
+
 def q_winnow_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level near-dup candidates: doc pairs sharing ≥5 distinct
     winnowing fingerprints (bucket-capped at the 16 smallest ids, the
@@ -2058,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "doc_ngram_repetition": q_doc_ngram_repetition,
         "winnow_shared_pairs": q_winnow_shared_pairs,
+        "clean_pipeline": q_clean_pipeline,
         "nn_pair_join_delta": q_nn_pair_join_delta,
         "nn_pair_join_banded": q_nn_pair_join_banded,
         "asof_backward": q_asof_backward,
@@ -3366,6 +3420,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                        AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "clean_pipeline": """
+            WITH built AS (
+                SELECT doc_id,
+                       'NAV ' || source AS l0,
+                       'BODY ' || substr(text, 1, 200) AS l1,
+                       CASE WHEN doc_id % 5 = 0 THEN 'PROMO SALE' END AS l2
+                FROM documents
+            ), lines AS (
+                SELECT doc_id, 0 AS pos, l0 AS seg FROM built
+                UNION ALL SELECT doc_id, 1, l1 FROM built
+                UNION ALL SELECT doc_id, 2, l2 FROM built WHERE l2 IS NOT NULL
+            ), dfreq AS (
+                SELECT seg, count(DISTINCT doc_id) AS df
+                FROM lines GROUP BY seg
+            ), cleaned AS (
+                SELECT l.doc_id,
+                       coalesce(string_agg(
+                           CASE WHEN d.df <= 10 THEN l.seg END,
+                           chr(10) ORDER BY l.pos), '') AS clean_text
+                FROM lines l JOIN dfreq d ON l.seg = d.seg
+                GROUP BY l.doc_id
+            ), verdict AS (
+                SELECT doc_id, clean_text,
+                       CASE WHEN length(trim(clean_text)) = 0 THEN 0
+                            ELSE len(string_split_regex(
+                                trim(clean_text), '\\s+')) END AS n_tokens,
+                       round(length(trim(clean_text)) / greatest(
+                           CASE WHEN length(trim(clean_text)) = 0 THEN 0
+                                ELSE len(string_split_regex(
+                                    trim(clean_text), '\\s+')) END, 1),
+                           6) AS mtl
+                FROM cleaned
+            ), kept AS (
+                SELECT doc_id, md5(clean_text) AS fp FROM verdict
+                WHERE n_tokens >= 20 AND n_tokens <= 100000
+                  AND mtl >= 3.0 AND mtl <= 10.0
+            ), first AS (
+                SELECT fp, min(doc_id) AS w FROM kept GROUP BY fp
+            ), deduped AS (
+                SELECT k.doc_id, k.fp
+                FROM kept k JOIN first f
+                  ON k.fp = f.fp AND k.doc_id = f.w
+            ), evalset AS (
+                SELECT DISTINCT fp FROM deduped WHERE doc_id % 13 = 0
+            )
+            SELECT d.doc_id, d.fp FROM deduped d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM evalset e WHERE e.fp = d.fp
+            )
         """,
         "winnow_fingerprints": _WINNOW_FPS_SQL,
         "winnow_shared_pairs": f"""
