@@ -1241,21 +1241,18 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level sessionization (the primitive under the session-window
     aggregate): per user, a new session starts after a >30 min gap;
     session index = running count of gap breaks (lag + cumulative sum,
-    one exchange, O(n) frames, total order via (ts, event_id))."""
-    from pyspark.sql import Window
+    one exchange, O(n) frames, total order via (ts, event_id)). Same
+    library operator the banded gate shards — one implementation of the
+    semantics, two physical forms."""
+    from statefulstreamprocessor_spark.operators.sessions import sessionize
 
-    ev = _load(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id"
-    )
-    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.timestamp_diff("MICROSECOND", F.lag("ts").over(wo), F.col("ts"))
-    new_s = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
-    return ev.select(
-        "user_id",
-        _us("ts").alias("ts_us"),
-        "event_id",
-        (F.sum(new_s).over(wc) - 1).alias("session_idx"),
+    ev = _load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    out = sessionize(ev, "user_id", "ts", "event_id", gap_seconds=1800.0)
+    return out.select(
+        F.col("key").alias("user_id"),
+        "ts_us",
+        F.col("id").alias("event_id"),
+        "session_idx",
     )
 
 

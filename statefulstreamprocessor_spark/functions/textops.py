@@ -142,19 +142,23 @@ def gopher_verdict_cols(
     Zero exchanges: everything is a scalar expression over the row.
     """
     q = quality_score_cols(text_col)
-    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
-    stop_hits = F.size(
-        F.array_intersect(
-            toks, F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
-        )
-    )
     checks = [
         ("too_few_tokens", q["n_tokens"] < min_tokens),
         ("too_many_tokens", q["n_tokens"] > max_tokens),
         ("mean_token_len_low", q["mean_token_len"] < min_mean_token_len),
         ("mean_token_len_high", q["mean_token_len"] > max_mean_token_len),
-        ("too_few_stopwords", stop_hits < min_stopword_hits),
     ]
+    if min_stopword_hits > 0:
+        # threshold 0 disables the rule — skip building the per-row
+        # tokenize + intersect entirely (size() >= 0 always, but Catalyst
+        # cannot prove that and would evaluate it per row)
+        toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+        stop_hits = F.size(
+            F.array_intersect(
+                toks, F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+            )
+        )
+        checks.append(("too_few_stopwords", stop_hits < min_stopword_hits))
     reasons = F.concat_ws(
         ",", *[F.when(cond, F.lit(name)) for name, cond in checks]
     )

@@ -53,25 +53,23 @@ def _merge_sides(
     return merged, left_payload, right_payload
 
 
-def _secs_fn(ts_dtype: str):
-    """Epoch-seconds expression for tolerance/band math. TIMESTAMP_NTZ must
-    NOT round-trip through a session-timezone cast (a DST transition inside
-    the data would shift the offset mid-stream): use timestamp_diff from
-    the NTZ epoch, which is session-tz-proof."""
+def _time_units_fn(ts_dtype: str):
+    """(to_units, units_per_second) for tolerance/band math.
+
+    TIMESTAMP_NTZ stays in EXACT integer microseconds via timestamp_diff
+    from the NTZ epoch — session-tz-proof (no DST-shifted cast) AND free
+    of the double rounding that ``µs/1e6`` would introduce: a |dt| of
+    exactly the tolerance must compare equal, never 1 ulp over (the
+    integer-µs discipline the oracles use). Every other type (tz-aware
+    timestamp, numeric seconds) compares in double seconds."""
     if ts_dtype == "timestamp_ntz":
         epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
 
-        def secs(c):
-            return (
-                F.timestamp_diff("MICROSECOND", epoch, c).cast("double") / 1e6
-            )
-    elif ts_dtype.startswith("timestamp"):
-        def secs(c):
-            return c.cast("double")
-    else:
-        def secs(c):
-            return c.cast("double")
-    return secs
+        def to_units(c):
+            return F.timestamp_diff("MICROSECOND", epoch, c)
+
+        return to_units, 1_000_000
+    return (lambda c: c.cast("double")), 1
 
 
 def _asof_core(
@@ -112,10 +110,13 @@ def _asof_core(
 
     ann = merged.withColumn("__cand", cand).filter(F.col("__side") == 1)
     if tolerance is not None:
-        secs = _secs_fn(ts_dtype)
+        to_units, ups = _time_units_fn(ts_dtype)
+        tol_units = (
+            int(round(float(tolerance) * ups)) if ups != 1 else float(tolerance)
+        )
         in_tol = (
-            F.abs(secs(F.col("__cand.t")) - secs(F.col("__ts")))
-            <= F.lit(float(tolerance))
+            F.abs(to_units(F.col("__cand.t")) - to_units(F.col("__ts")))
+            <= F.lit(tol_units)
         )
         ann = ann.withColumn("__cand", F.when(in_tol, F.col("__cand")))
 
@@ -215,17 +216,20 @@ def asof_join_banded(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if tolerance is None or tolerance <= 0:
         raise ValueError("asof_join_banded requires a positive tolerance")
-    width = float(band_seconds or tolerance)
+    # `is None`, not falsy-or: an explicit band_seconds=0 must hit the
+    # validation below, not silently become the default
+    width = float(tolerance if band_seconds is None else band_seconds)
     if width < tolerance:
         raise ValueError("band_seconds must be >= tolerance")
 
     ts_dtype = df_left.schema[ts_col].dataType.simpleString()
-    secs = _secs_fn(ts_dtype)
+    to_units, ups = _time_units_fn(ts_dtype)
+    width_units = int(round(width * ups)) if ups != 1 else width
 
     merged, left_payload, right_payload = _merge_sides(
         df_left, df_right, keys, ts_col
     )
-    bucket = F.floor(secs(F.col("__ts")) / F.lit(width)).cast("long")
+    bucket = F.floor(to_units(F.col("__ts")) / F.lit(width_units)).cast("long")
     neighbor = bucket + (1 if direction == "backward" else -1)
     banded = merged.select(
         "*",

@@ -54,12 +54,20 @@ def _segments(df: DataFrame, text_col: str, id_col: str, sep_regex: str):
     )
 
 
-def _reassemble(kept_flagged: DataFrame, sep: str) -> DataFrame:
+def _reassemble(
+    kept_flagged: DataFrame, sep: str, ids: DataFrame
+) -> DataFrame:
     """groupBy(id): kept segments back into one text (original order),
     plus kept/dropped counts. One exchange on id; the in-order rebuild is
     an array_sort over the collected (pos, seg) structs — per-document
-    memory, the same bound the document held on input."""
-    return kept_flagged.groupBy("id").agg(
+    memory, the same bound the document held on input.
+
+    ``ids`` (the distinct input document ids) left-joins the result back
+    to FULL corpus cardinality: a document whose text produced zero
+    non-empty segments (NULL / '' / separators only) still comes out,
+    as ``text=''`` with zero counts — cleaning must never silently drop
+    documents."""
+    rebuilt = kept_flagged.groupBy("id").agg(
         F.concat_ws(
             sep,
             F.transform(
@@ -73,6 +81,12 @@ def _reassemble(kept_flagged: DataFrame, sep: str) -> DataFrame:
         ).alias("text"),
         F.sum(F.col("__keep").cast("int")).alias("n_kept"),
         F.sum((~F.col("__keep")).cast("int")).alias("n_dropped"),
+    )
+    return ids.join(rebuilt, "id", "left").select(
+        "id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+        F.coalesce("n_dropped", F.lit(0).cast("bigint")).alias("n_dropped"),
     )
 
 
@@ -109,7 +123,8 @@ def dedup_paragraphs(
             & (F.col("__first.pos") == F.col("pos"))
         ).alias("__keep"),
     )
-    return _reassemble(flagged, sep)
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return _reassemble(flagged, sep, ids)
 
 
 def remove_boilerplate_lines(
@@ -150,4 +165,5 @@ def remove_boilerplate_lines(
     ).select(
         "id", "pos", "seg", F.col("__boiler").isNull().alias("__keep")
     )
-    return _reassemble(flagged, sep)
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return _reassemble(flagged, sep, ids)

@@ -38,12 +38,18 @@ def frequent_items(
     col: str,
     num: int = 1,
     den: int = 100,
+    n_total: int | None = None,
 ) -> DataFrame:
     """Every value of ``col`` occurring in MORE than ``num/den`` of the
     rows, with its exact count.
 
     Output: ``value`` | ``cnt`` | ``n_total`` (the corpus row count, so
     the fraction is reconstructible downstream).
+
+    ``n_total``: optional known non-NULL row count. Without it the total
+    comes from a third scan of the input (candidates, recount, count);
+    callers at scale that know their table stats pass it and pay two
+    scans — the same hint discipline as ``train_ivf_centroids(n_rows=)``.
     """
     if num <= 0 or den <= 0 or num >= den:
         raise ValueError("need 0 < num/den < 1")
@@ -67,12 +73,17 @@ def frequent_items(
         vals.mapInPandas(batch_frequent, "value " + dict(vals.dtypes)["value"])
         .distinct()
     )
-    n_total = vals.select(F.count(F.lit(1)).alias("n_total"))
+    if n_total is not None:
+        n_total_df = df.sparkSession.range(1).select(
+            F.lit(int(n_total)).cast("bigint").alias("n_total")
+        )
+    else:
+        n_total_df = vals.select(F.count(F.lit(1)).alias("n_total"))
     counted = (
         vals.join(F.broadcast(candidates), "value", "left_semi")
         .groupBy("value")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(n_total_df))
     )
     return counted.filter(
         F.col("cnt") * F.lit(int(den)) > F.col("n_total") * F.lit(int(num))

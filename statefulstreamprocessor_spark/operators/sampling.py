@@ -93,8 +93,13 @@ def quantile_bucket_sample(
     from statefulstreamprocessor_spark.operators.packing import global_cumsum
 
     key_mult = 1 << 33
+    # value < 2^30 keeps value*2^33 + id inside int64 — without this half
+    # of the precondition an epoch-seconds value overflows the multiply
+    # (ANSI: raw ARITHMETIC_OVERFLOW; non-ANSI: silent wraparound
+    # mis-ranking)
     in_range = (
         (F.col(value_col) >= 0)
+        & (F.col(value_col) < F.lit(1 << 30))
         & (F.col(id_col) >= 0)
         & (F.col(id_col) < F.lit(key_mult))
     )
@@ -112,8 +117,8 @@ def quantile_bucket_sample(
         .otherwise(
             F.raise_error(
                 F.lit(
-                    "quantile_bucket_sample requires value >= 0 and "
-                    "0 <= id < 2^33"
+                    "quantile_bucket_sample requires 0 <= value < 2^30 "
+                    "and 0 <= id < 2^33"
                 )
             ).cast("bigint")
         )

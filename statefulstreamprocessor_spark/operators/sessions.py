@@ -79,7 +79,10 @@ def sessionize_banded(
     """Identical output to :func:`sessionize`, with per-key work sharded
     into ``band_seconds``-wide time buckets (default: 64 × gap)."""
     gap_us = int(gap_seconds * 1_000_000)
-    width_us = int((band_seconds or gap_seconds * 64) * 1_000_000)
+    # `is None`, not falsy-or: an explicit band_seconds=0 must raise, not
+    # silently become the default
+    width = gap_seconds * 64 if band_seconds is None else float(band_seconds)
+    width_us = int(width * 1_000_000)
     if width_us <= 0:
         raise ValueError("band_seconds must be positive")
     ev = df.select(

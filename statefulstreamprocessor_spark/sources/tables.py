@@ -98,9 +98,23 @@ class TableHandle:
     def vacuum(self) -> None:
         """Expire all superseded snapshots (Iceberg ``expire_snapshots``):
         deletes every version dir except the current one. Call when no
-        reader still holds an older snapshot."""
+        reader still holds an older snapshot. The metadata's
+        ``previous_data_dir`` pointer is cleared atomically too — a
+        reloaded handle must see "vacuumed", not a dangling path that
+        reads as on-disk corruption."""
         self._sweep(keep={self._data_name})
         self._prev_data_name = None
+        meta = {
+            "schema": self.schema_ddl,
+            "partition_by": self.partition_by,
+            "version": self._version,
+            "data_dir": self._data_name,
+            "previous_data_dir": None,
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.path)
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.path, _META))
 
     def changelog(self) -> DataFrame:
         """Row-level change feed vs the previous retained snapshot

@@ -130,6 +130,12 @@ def test_changelog_between_snapshots(spark, tmp_path):
     t.vacuum()
     with pytest.raises(ValueError):
         t.changelog()
+    # vacuum clears the metadata pointer too: a RELOADED handle must say
+    # "no previous snapshot", never chase a dangling path
+    t3 = load_table(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="no previous snapshot"):
+        t3.changelog()
+    assert t3.read().count() == 4
 
 
 def test_compact_latest_by_key(spark, tmp_path):

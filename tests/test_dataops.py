@@ -494,10 +494,17 @@ def test_quantile_bucket_sample_balanced_and_plan(spark):
                 nonscalar += 1
     assert nonscalar <= 1, plan
 
-    # out-of-range inputs fail loudly, never silently mis-rank
+    # out-of-range inputs fail loudly, never silently mis-rank — both the
+    # negative case and the value >= 2^30 overflow case (value*2^33 + id
+    # must fit int64; an epoch-seconds value would otherwise wrap)
     bad = spark.createDataFrame([(5, -3)], "doc_id bigint, n_chars bigint")
     with pytest.raises(Exception, match="quantile_bucket_sample requires"):
         quantile_bucket_sample(bad, "n_chars", "doc_id", 2, 1).collect()
+    big = spark.createDataFrame(
+        [(5, 1_700_000_000)], "doc_id bigint, n_chars bigint"
+    )
+    with pytest.raises(Exception, match="quantile_bucket_sample requires"):
+        quantile_bucket_sample(big, "n_chars", "doc_id", 2, 1).collect()
 
 
 def test_ngram_repetition_stats(spark):
@@ -570,6 +577,16 @@ def test_frequent_items_matches_exact_groupby(spark):
         frequent_items(df, "word", 0, 10)
     with pytest.raises(ValueError):
         frequent_items(df, "word", 10, 10)
+    # n_total hint (skips the third input scan) gives identical output
+    hinted = {
+        (r["value"], r["cnt"], r["n_total"])
+        for r in frequent_items(df, "word", 1, 20, n_total=n).collect()
+    }
+    unhinted = {
+        (r["value"], r["cnt"], r["n_total"])
+        for r in frequent_items(df, "word", 1, 20).collect()
+    }
+    assert hinted == unhinted
 
 
 def test_word_repetition_stats(spark):
@@ -824,6 +841,13 @@ def test_sessionize_banded_equals_plain(spark):
     assert canon(
         sessionize_banded(df, "k", "ts", "event_id", gap_seconds=1800)
     ) == plain
+    # explicit 0 must raise, not silently fall back to the default
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sessionize_banded(
+            df, "k", "ts", "event_id", gap_seconds=1800, band_seconds=0.0
+        )
 
 
 def test_series_derivative_banded_equals_plain(spark):

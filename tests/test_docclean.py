@@ -62,6 +62,32 @@ def test_dedup_paragraphs_empty_segments_and_order(spark):
     assert out[0]["text"].split("\n\n") == ["c", "a", "b"]
 
 
+def test_cleaning_preserves_corpus_cardinality(spark):
+    """A document whose text yields zero non-empty segments (NULL, '',
+    separators only) must still come out — as text='' with zero counts —
+    never silently vanish from the cleaned corpus."""
+    df = spark.createDataFrame(
+        [(0, "real\n\ncontent"), (1, None), (2, ""), (3, "\n\n\n\n")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["id"]: (r["text"], r["n_kept"], r["n_dropped"])
+        for r in dedup_paragraphs(df, "text", "doc_id").collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0] == ("real\n\ncontent", 2, 0)
+    for i in (1, 2, 3):
+        assert out[i] == ("", 0, 0), i
+    out2 = {
+        r["id"]
+        for r in remove_boilerplate_lines(
+            df.withColumn("text", F.coalesce("text", F.lit(""))),
+            "text", "doc_id", max_df=10,
+        ).collect()
+    }
+    assert out2 == {0, 1, 2, 3}
+
+
 def test_remove_boilerplate_lines_df_threshold(spark):
     nav = "HOME | ABOUT | CONTACT"
     docs = [f"{nav}\ncontent {i}\n{nav}" for i in range(4)] + ["rare\nunique"]

@@ -179,6 +179,9 @@ def test_asof_banded_equals_plain(spark):
         asof_join_banded(left, right, "key", "ts", tolerance=None)
     with pytest.raises(ValueError):
         asof_join_banded(left, right, "key", "ts", tolerance=10.0, band_seconds=5.0)
+    with pytest.raises(ValueError):
+        # explicit 0 must raise, not silently fall back to the default
+        asof_join_banded(left, right, "key", "ts", tolerance=10.0, band_seconds=0.0)
 
 
 def test_asof_banded_timestamp_and_parallel_partitions(spark):
