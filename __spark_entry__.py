@@ -1920,6 +1920,69 @@ def q_tumbling_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level sessionization as a CUSTOM STATEFUL STREAMING operator
+    (streaming/sessionize.py — applyInPandasWithState, bucketed key
+    groups, watermark-sealed prefix emission, per-key running-state
+    carry): every event comes back out with its session index, pinned to
+    the SAME DuckDB oracle as the batch q_sessionize. The punctuation
+    row (unused user, +2 h) advances the watermark so every real row
+    seals; its own row never seals and is filtered regardless."""
+    import datetime
+    import os
+    import tempfile
+
+    from statefulstreamprocessor_spark.sources.staging import (
+        append_flush_file,
+        write_time_ordered_chunks,
+    )
+    from statefulstreamprocessor_spark.streaming.sessionize import (
+        streaming_sessionize,
+    )
+
+    ev = _load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    tmp = tempfile.mkdtemp(prefix="ssp_strsess_gate_")
+    in_dir = os.path.join(tmp, "input")
+    idx = write_time_ordered_chunks(ev, in_dir, n_files=3, ts_col="ts")
+    mx = ev.agg(F.max("ts").alias("m")).first()["m"]
+    flush = spark.createDataFrame(
+        [(-1, mx + datetime.timedelta(hours=2), -1)],
+        "user_id bigint, ts timestamp_ntz, event_id bigint",
+    )
+    append_flush_file(flush, in_dir, idx)
+    raw = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp_ntz, event_id bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    stream = raw.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    ).withWatermark("ts", "0 seconds")
+    out = streaming_sessionize(
+        stream, ["user_id"], "ts", "event_id", gap_seconds=1800.0,
+        n_buckets=32,
+    )
+    out_dir = os.path.join(tmp, "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(tmp, "checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(out_dir)
+    return res.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        _us(F.col("ts").cast("timestamp_ntz")).alias("ts_us"),
+        "event_id",
+        "session_idx",
+    )
+
+
 def q_sliding_1h_15m_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1 h / 15 min window counts in STREAMING mode (availableNow
     + 0 s watermark + append output), pinned to the same DuckDB oracle as
@@ -2105,6 +2168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_derivative_banded": q_series_derivative_banded,
         "stream_fanout": q_stream_fanout,
         "sliding_1h_15m_streaming": q_sliding_1h_15m_streaming,
+        "streaming_sessionize": q_streaming_sessionize,
         "gopher_filter": q_gopher_filter,
         "doc_ngram_repetition": q_doc_ngram_repetition,
         "winnow_shared_pairs": q_winnow_shared_pairs,
@@ -3234,6 +3298,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 31 != 0 AND gram IN (SELECT gram FROM ev)
         """,
         "sessionize": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                   CAST(sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - 1 AS BIGINT) AS session_idx
+            FROM g
+        """,
+        "streaming_sessionize": """
             WITH g AS (
                 SELECT user_id, ts, event_id,
                        CASE WHEN lag(ts) OVER w IS NULL

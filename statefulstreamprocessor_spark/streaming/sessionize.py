@@ -1,0 +1,182 @@
+"""Streaming row-level sessionization (custom stateful operator).
+
+Spark's built-in ``session_window`` aggregates a session to one row; the
+reference-style per-RECORD enrichment ("which session is this event in")
+needs every row back out with its session index — an arbitrary stateful
+operator. Semantics are pinned to the batch
+:func:`~statefulstreamprocessor_spark.operators.sessions.sessionize`:
+per key, order rows by (ts, id), a new session starts after a gap of
+MORE than ``gap_seconds``, 0-based running index.
+
+Mechanics (the :mod:`stateful_join` discipline):
+
+* state groups are hash buckets over the key (``n_buckets``), amortizing
+  the per-trigger Arrow + state-store round trip over many keys;
+* rows buffer until the watermark passes their event time — then no
+  earlier row can arrive (late rows at-or-below the watermark are
+  dropped explicitly, as arbitrary stateful ops must do themselves) and
+  the sealed prefix of each key's (ts, id) order gets its final session
+  indices, continuing from the per-key running state;
+* retained state is the UNSEALED rows plus one (last_ts, n_breaks)
+  summary row per key — O(in-flight) rows, watermark-bounded, never the
+  history;
+* a group holding unsealed rows arms an event-time timeout so the
+  watermark advancing re-fires it even when no new data arrives for the
+  bucket (availableNow replays complete).
+
+All gap math runs in integer microseconds (session-timezone-proof,
+rounding-free — the engine-wide discipline).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+__all__ = ["streaming_sessionize"]
+
+
+def streaming_sessionize(
+    df: DataFrame,
+    keys: list[str] | str,
+    ts_col: str,
+    id_col: str,
+    gap_seconds: float,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Assign each streaming row its per-key session index (append mode).
+
+    ``df``: streaming DataFrame with a watermark on ``ts_col``
+    (TimestampType). Output: keys + ``ts_col`` + ``id_col`` +
+    ``session_idx`` (bigint, 0-based), emitted once the watermark passes
+    the row's event time. Identical row set to the batch ``sessionize``
+    over the same data (gate-checked against the same oracle).
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    if n_buckets is None:
+        n_buckets = max(df.sparkSession.sparkContext.defaultParallelism * 8, 16)
+    gap_us = int(float(gap_seconds) * 1_000_000)
+    keys_l = list(keys)
+
+    out_schema = StructType(
+        [df.schema[k] for k in keys_l]
+        + [df.schema[ts_col], df.schema[id_col]]
+        + [StructField("session_idx", LongType(), True)]
+    )
+    state_schema = StructType(
+        [
+            StructField("buf", BinaryType(), True),
+            StructField("summ", BinaryType(), True),
+        ]
+    )
+    out_cols = [*keys_l, ts_col, id_col, "session_idx"]
+
+    def fn(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            buf_b, summ_b = state.get
+            buf = pickle.loads(buf_b)
+            summ = pickle.loads(summ_b)
+        else:
+            buf, summ = None, None
+
+        wm_us = int(state.getCurrentWatermarkMs()) * 1000
+        new = [p for p in pdf_iter if len(p)]
+        if new:
+            np_new = pd.concat(new, ignore_index=True) if len(new) > 1 else new[0]
+            ts_new = (
+                np_new[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+            )
+            if wm_us > 0:
+                # late-row discipline: arbitrary stateful ops drop
+                # at-or-below-watermark arrivals themselves
+                keep = ts_new > wm_us
+                np_new = np_new.loc[keep].reset_index(drop=True)
+                ts_new = ts_new[keep]
+            if len(np_new):
+                add = pd.DataFrame({"__ts": ts_new})
+                for c in (*keys_l, ts_col, id_col):
+                    add[c] = np_new[c].to_numpy()
+                buf = add if buf is None else pd.concat(
+                    [buf, add], ignore_index=True
+                )
+        if buf is None or len(buf) == 0:
+            state.update((pickle.dumps(None), pickle.dumps(summ)))
+            return
+
+        sealed_mask = buf["__ts"].to_numpy() <= wm_us
+        out = None
+        if sealed_mask.any():
+            sealed = (
+                buf.loc[sealed_mask]
+                .sort_values(["__ts", id_col], kind="mergesort")
+                .sort_values(keys_l, kind="mergesort")
+                .reset_index(drop=True)
+            )
+            buf = buf.loc[~sealed_mask].reset_index(drop=True)
+            if summ is None:
+                summ = pd.DataFrame(
+                    columns=[*keys_l, "__last_ts", "__cum"]
+                ).astype({"__last_ts": "float64", "__cum": "int64"})
+            merged = sealed.merge(summ, on=keys_l, how="left")
+            g = merged.groupby(keys_l, sort=False, dropna=False)
+            prev = g["__ts"].shift(1)
+            # first sealed row of each key continues from the state's
+            # last sealed timestamp (NaN = key never sealed before)
+            prev = prev.fillna(merged["__last_ts"])
+            gap = merged["__ts"] - prev
+            brk = (prev.isna() | (gap > gap_us)).astype("int64")
+            cum0 = merged["__cum"].fillna(0).astype("int64")
+            idx = cum0 + brk.groupby(
+                [merged[k] for k in keys_l], sort=False, dropna=False
+            ).cumsum() - 1
+            out = merged[[*keys_l, ts_col, id_col]].copy()
+            out["session_idx"] = idx.to_numpy()
+            # roll the per-key summary forward
+            upd = merged.assign(__brk=brk).groupby(
+                keys_l, sort=False, dropna=False, as_index=False
+            ).agg(__new_last=("__ts", "max"), __nbrk=("__brk", "sum"),
+                  __old_cum=("__cum", "first"))
+            upd["__last_ts"] = upd["__new_last"].astype("float64")
+            upd["__cum"] = upd["__old_cum"].fillna(0).astype("int64") + upd[
+                "__nbrk"
+            ].astype("int64")
+            upd = upd[[*keys_l, "__last_ts", "__cum"]]
+            untouched = (
+                summ.merge(upd[keys_l], on=keys_l, how="left", indicator=True)
+                .query("_merge == 'left_only'")
+                .drop(columns="_merge")
+            )
+            summ = pd.concat([untouched, upd], ignore_index=True)
+
+        state.update(
+            (pickle.dumps(buf if len(buf) else None), pickle.dumps(summ))
+        )
+        if len(buf):
+            # unsealed rows wait on the WATERMARK, not on data — re-fire
+            # the group when it advances
+            state.setTimeoutTimestamp(
+                max(int(state.getCurrentWatermarkMs()) + 1, 1)
+            )
+        if out is not None and len(out):
+            yield out[out_cols]
+
+    bucketed = df.withColumn(
+        "__bucket",
+        F.pmod(F.xxhash64(*[F.col(k) for k in keys_l]), F.lit(n_buckets)),
+    )
+    return bucketed.groupBy("__bucket").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )

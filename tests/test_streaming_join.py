@@ -125,6 +125,116 @@ def test_streaming_resume_after_partial_input(spark, webtext_pdf, tmp_path, in_o
     )
 
 
+def test_streaming_sessionize_resume_equals_batch(spark, tmp_path):
+    """Custom stateful sessionize: kill after half the input, resume from
+    the checkpoint with the rest — the union must equal the batch
+    sessionize row-for-row (session indices continue across the restart
+    from the per-key running state; no dupes, no gaps)."""
+    import datetime
+
+    import numpy as np
+
+    from statefulstreamprocessor_spark.operators.sessions import sessionize
+    from statefulstreamprocessor_spark.streaming.sessionize import (
+        streaming_sessionize,
+    )
+
+    rng = np.random.default_rng(3)
+    t0 = datetime.datetime(2024, 7, 1)
+    rows = []
+    eid = 0
+    for u in range(30):
+        t = float(rng.integers(0, 3600))
+        for _ in range(rng.integers(10, 40)):
+            t += float(rng.choice([5, 40, 2000, 40000]))
+            rows.append((u, t0 + datetime.timedelta(seconds=t), eid))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id"]).sort_values(
+        "ts", kind="mergesort"
+    )
+    in_dir = os.path.join(str(tmp_path), "input")
+    os.makedirs(in_dir)
+    step = (len(pdf) + 3) // 4
+    chunks = [
+        pdf.iloc[i * step : (i + 1) * step]
+        .sample(frac=1.0, random_state=i)  # arrival shuffle inside chunk
+        for i in range(4)
+    ]
+    out_dir = os.path.join(str(tmp_path), "out")
+
+    def run():
+        raw = (
+            spark.readStream.schema(
+                "user_id bigint, ts timestamp_ntz, event_id bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        stream = raw.select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+        ).withWatermark("ts", "0 seconds")
+        q = (
+            streaming_sessionize(
+                stream, ["user_id"], "ts", "event_id", gap_seconds=1800.0,
+                n_buckets=8,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for i in (0, 1):
+        chunks[i].to_parquet(
+            os.path.join(in_dir, f"part-{i:03d}.parquet"),
+            index=False, coerce_timestamps="us",
+        )
+    run()
+    for i in (2, 3):
+        chunks[i].to_parquet(
+            os.path.join(in_dir, f"part-{i:03d}.parquet"),
+            index=False, coerce_timestamps="us",
+        )
+    # punctuation seals every real row at end-of-stream
+    mx = pdf["ts"].max()
+    pd.DataFrame(
+        [(-1, mx + datetime.timedelta(hours=2), -1)],
+        columns=["user_id", "ts", "event_id"],
+    ).to_parquet(
+        os.path.join(in_dir, "part-zz-flush.parquet"),
+        index=False, coerce_timestamps="us",
+    )
+    run()
+
+    got = {
+        (r["user_id"], r["ts"], r["event_id"], r["session_idx"])
+        for r in spark.read.parquet(out_dir)
+        .filter(F.col("user_id") >= 0)
+        .collect()
+    }
+    n_got = (
+        spark.read.parquet(out_dir).filter(F.col("user_id") >= 0).count()
+    )
+    assert n_got == len(got), "duplicate emissions after resume"
+    batch = spark.createDataFrame(pdf, "user_id bigint, ts timestamp_ntz, event_id bigint")
+    want = {
+        (r["key"], r["ts_us"], r["id"], r["session_idx"])
+        for r in sessionize(
+            batch, "user_id", "ts", "event_id", gap_seconds=1800.0
+        ).collect()
+    }
+    got_us = {
+        (u, int(pd.Timestamp(ts).value // 1000), e, s)
+        for (u, ts, e, s) in got
+    }
+    assert got_us == want, (
+        f"missing={len(want - got_us)} extra={len(got_us - want)}"
+    )
+
+
 def test_fanout_sink_all_or_nothing_across_destinations(
     spark, webtext_pdf, tmp_path
 ):
