@@ -2147,9 +2147,13 @@ def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness check recorded only
     # the FIRST 50 entries in round 3 (7 queries never got a row), so the
-    # queries whose driver-gate evidence is newest-needed come first —
-    # the 7 round-3-unrecorded ones and this round's additions — while
-    # queries with multiple recorded green rounds sit at the tail.
+    # queries whose driver-gate evidence is newest-needed come first: the
+    # flagship, the 7 round-3-unrecorded ones, every round-4 ADDITION,
+    # then every query whose CODE changed this round (tfidf rework,
+    # sessionize delegation, µs-exact asof tolerance under funnel, exact
+    # trend sums, chunked resample grid, NULL-stratum sampling) — all
+    # inside the first 50. Queries with multiple recorded green rounds
+    # and untouched code sit at the tail.
     qs = {
         "nn_pair_join": q_nn_pair_join,
         "hash_sample": q_hash_sample,
@@ -2173,6 +2177,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_repetition": q_doc_ngram_repetition,
         "winnow_shared_pairs": q_winnow_shared_pairs,
         "clean_pipeline": q_clean_pipeline,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "sessionize": q_sessionize,
+        "funnel_3step": q_funnel_3step,
+        "series_trend": q_series_trend,
+        "resample_ffill": q_resample_ffill,
+        "stratified_sample": q_stratified_sample,
         "nn_pair_join_delta": q_nn_pair_join_delta,
         "nn_pair_join_banded": q_nn_pair_join_banded,
         "asof_backward": q_asof_backward,
@@ -2182,15 +2192,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_1h_15m": q_sliding_1h_15m,
         "session_30m": q_session_30m,
         "session_30m_streaming": q_session_30m_streaming,
-        "normalize_ts": q_normalize_ts,
-        "unpivot_lineitem": q_unpivot_lineitem,
-        "series_key_route": q_series_key_route,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
         "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_enrich": q_streaming_enrich,
+        "stream_dedup_rollup": q_stream_dedup_rollup,
+        "windowed_latest_pair": q_windowed_latest_pair,
+        "replay_pair_join": q_replay_pair_join,
+        "nn_pair_join_streaming": q_nn_pair_join_streaming,
+        "normalize_ts": q_normalize_ts,
+        "unpivot_lineitem": q_unpivot_lineitem,
+        "series_key_route": q_series_key_route,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "salted_agg": q_salted_agg,
@@ -2204,24 +2221,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "domain_rollup": q_domain_rollup,
         "vocab_topk": q_vocab_topk,
-        "tfidf_top_terms": q_tfidf_top_terms,
         "decontaminate_exact": q_decontaminate_exact,
         "decontaminate_ngram": q_decontaminate_ngram,
-        "sessionize": q_sessionize,
-        "funnel_3step": q_funnel_3step,
-        "series_trend": q_series_trend,
-        "resample_ffill": q_resample_ffill,
         "series_derivative": q_series_derivative,
         "pack_sequences": q_pack_sequences,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_enrich": q_streaming_enrich,
-        "stream_dedup_rollup": q_stream_dedup_rollup,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "windowed_latest_pair": q_windowed_latest_pair,
-        "replay_pair_join": q_replay_pair_join,
-        "nn_pair_join_streaming": q_nn_pair_join_streaming,
         "dedup_clusters": q_dedup_clusters,
-        "stratified_sample": q_stratified_sample,
     }
     return {k: _shipped(v) for k, v in qs.items()}
 
