@@ -34,6 +34,8 @@ __all__ = [
     "pii_scrub_cols",
     "winnow_fingerprints",
     "winnow_fingerprints_udf",
+    "gopher_verdict_cols",
+    "compression_ratio_udf",
 ]
 
 _SCRIPT_RE = re.compile(rb"<(script|style)\b.*?</\1>", re.S | re.I)
@@ -301,3 +303,33 @@ def winnow_fingerprints_udf(k: int = 8, window: int = 4):
         return text.map(one)
 
     return fp
+
+
+def compression_ratio_udf(level: int = 6):
+    """Arrow-batched zlib compression-ratio UDF — the CCNet-style
+    redundancy signal: highly compressible text (ratio near 0) is
+    repetitive boilerplate/template content even when no single n-gram
+    dominates; near-incompressible "text" is often binary junk or
+    encoded blobs. Returns ``compressed_bytes / utf8_bytes`` rounded to
+    6 dp (NULL for NULL input, 1.0 for empty — nothing to compress).
+
+    zlib is stdlib (no optional dependency) and deterministic for a
+    fixed level, so the score is reproducible across runs and workers;
+    there is no SQL analogue, so this signal is pytest-verified against
+    a direct python oracle rather than the DuckDB gate.
+    """
+    import zlib
+
+    @F.pandas_udf("double")
+    def ratio(text: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return 1.0
+            return round(len(zlib.compress(b, level)) / len(b), 6)
+
+        return text.map(one)
+
+    return ratio

@@ -357,3 +357,35 @@ def test_gopher_verdict_cols(spark):
     assert got[2] == (False, "mean_token_len_low")
     assert got[3] == (False, "too_few_stopwords")
     assert got[4] == (False, "mean_token_len_high,too_few_stopwords")
+
+
+def test_compression_ratio_udf(spark):
+    """Compression-ratio quality signal == direct zlib oracle; repetitive
+    text reads far lower than varied text; NULL/empty handled."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from statefulstreamprocessor_spark.functions.textops import (
+        compression_ratio_udf,
+    )
+
+    varied = " ".join(f"w{i * 7919 % 1000}x{i}" for i in range(300))
+    boiler = "HOME ABOUT CONTACT " * 100
+    rows = [(0, varied), (1, boiler), (2, ""), (3, None)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    r = compression_ratio_udf()
+    got = {
+        row["id"]: row["r"]
+        for row in df.select("id", r(F.col("t")).alias("r")).collect()
+    }
+    for i, t in rows:
+        if t is None:
+            assert got[i] is None
+        elif t == "":
+            assert got[i] == 1.0
+        else:
+            b = t.encode()
+            assert got[i] == round(len(zlib.compress(b, 6)) / len(b), 6), i
+    # the redundancy signal: boilerplate compresses far better
+    assert got[1] < got[0] * 0.5, (got[0], got[1])
