@@ -1963,6 +1963,10 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = streaming_sessionize(
         stream, ["user_id"], "ts", "event_id", gap_seconds=1800.0,
         n_buckets=32,
+        # 90-day idle TTL: far beyond the dataset's span, so the summary
+        # eviction path runs under the gate while the output stays exactly
+        # the batch-sessionize oracle (round-5: bounded summary state)
+        state_ttl=90 * 86400.0,
     )
     out_dir = os.path.join(tmp, "out")
     q = (

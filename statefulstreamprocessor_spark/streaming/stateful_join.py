@@ -438,6 +438,14 @@ def streaming_nn_join(
     too). Trade-off: a pair bridging a silence longer than the TTL is not
     emitted. Without it, state holds O(1) rows per ever-seen series.
 
+    Watermark boundary contract: arrivals with event time strictly below
+    the current watermark are dropped, and decisions treat the at-or-below
+    region as final — so a row whose event time EQUALS the watermark must
+    arrive in the same micro-batch that advanced it (the staging writers
+    guarantee this with µs-unique timestamps per chunk; see
+    ``streaming/sessionize.py`` for the keep-at-watermark variant of the
+    boundary).
+
     ``assume_in_order``: adopt the reference's per-stream in-order arrival
     contract (README:220-230) — decisions finalize on data arrival instead
     of trailing the watermark by one trigger, and decided rows retire

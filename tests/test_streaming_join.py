@@ -576,3 +576,243 @@ def test_chained_dedup_rollup_resume(spark, tmp_path):
     n_rows = out2.count()
     out3 = run()
     assert out3.count() == n_rows, "third run from checkpoint emitted rows"
+
+
+def _run_streaming_sessionize(
+    spark, in_dir, out_dir, ck_dir, gap, ttl, n_buckets=1
+):
+    from statefulstreamprocessor_spark.streaming.sessionize import (
+        streaming_sessionize,
+    )
+
+    raw = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp_ntz, event_id bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    stream = raw.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    ).withWatermark("ts", "0 seconds")
+    q = (
+        _sessionize_op(stream, gap, ttl, n_buckets)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)
+
+
+def _sessionize_op(stream, gap, ttl, n_buckets):
+    from statefulstreamprocessor_spark.streaming.sessionize import (
+        streaming_sessionize,
+    )
+
+    return streaming_sessionize(
+        stream, ["user_id"], "ts", "event_id", gap_seconds=gap,
+        n_buckets=n_buckets, state_ttl=ttl,
+    )
+
+
+def _write_session_chunks(in_dir, pdf, n_files, flush_hours=2.0):
+    os.makedirs(in_dir, exist_ok=True)
+    s = pdf.sort_values("ts", kind="mergesort").reset_index(drop=True)
+    step = (len(s) + n_files - 1) // n_files
+    for i in range(n_files):
+        c = s.iloc[i * step : (i + 1) * step]
+        if len(c):
+            c.to_parquet(
+                os.path.join(in_dir, f"part-{i:03d}.parquet"),
+                index=False, coerce_timestamps="us",
+            )
+    flush = pd.DataFrame(
+        {
+            "user_id": [-1],
+            "ts": [s["ts"].max() + pd.Timedelta(hours=flush_hours)],
+            "event_id": [-1],
+        }
+    )
+    flush.to_parquet(
+        os.path.join(in_dir, "part-zz-flush.parquet"),
+        index=False, coerce_timestamps="us",
+    )
+
+
+def test_streaming_sessionize_state_ttl_restart_semantics(spark, tmp_path):
+    """state_ttl eviction (VERDICT round-4 #1): a key silent longer than
+    the TTL has its summary dropped — its next burst restarts the session
+    index at 0 (documented semantic), while ttl=None keeps exact batch
+    parity and every other key is byte-identical in both runs."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 7, 1)
+    rows, eid = [], 0
+    # key 7: burst, silence far beyond the TTL, second burst
+    for sec in (0.0, 100.0, 15000.0, 15100.0):
+        rows.append((7, t0 + datetime.timedelta(seconds=sec), eid))
+        eid += 1
+    # key 8 fires every 500 s: advances the watermark through the silence
+    # and is itself never idle past the TTL
+    for sec in range(0, 20001, 500):
+        rows.append((8, t0 + datetime.timedelta(seconds=sec + 0.25), eid))
+        eid += 1
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id"])
+    in_dir = str(tmp_path / "input")
+    _write_session_chunks(in_dir, pdf, n_files=8)
+
+    def key7(df):
+        return sorted(
+            (r["event_id"], r["session_idx"])
+            for r in df.filter(F.col("user_id") == 7).collect()
+        )
+
+    out_ttl = _run_streaming_sessionize(
+        spark, in_dir, str(tmp_path / "out_ttl"), str(tmp_path / "ck_ttl"),
+        gap=1800.0, ttl=3600.0,
+    )
+    out_none = _run_streaming_sessionize(
+        spark, in_dir, str(tmp_path / "out_none"), str(tmp_path / "ck_none"),
+        gap=1800.0, ttl=None,
+    )
+    # ttl=None: second burst is session 1 (continues the per-key count)
+    assert key7(out_none) == [(0, 0), (1, 0), (2, 1), (3, 1)]
+    # ttl=3600 < the 14900 s silence: summary evicted, index restarts
+    assert key7(out_ttl) == [(0, 0), (1, 0), (2, 0), (3, 0)]
+    # the never-idle key is identical in both runs
+    k8n = sorted(
+        (r["event_id"], r["session_idx"])
+        for r in out_none.filter(F.col("user_id") == 8).collect()
+    )
+    k8t = sorted(
+        (r["event_id"], r["session_idx"])
+        for r in out_ttl.filter(F.col("user_id") == 8).collect()
+    )
+    assert k8n == k8t and len(k8n) == 41
+    # ttl=None equals the batch operator exactly
+    from statefulstreamprocessor_spark.operators.sessions import sessionize
+
+    batch = spark.createDataFrame(
+        pdf, "user_id bigint, ts timestamp_ntz, event_id bigint"
+    )
+    want = {
+        (r["key"], r["id"], r["session_idx"])
+        for r in sessionize(
+            batch, "user_id", "ts", "event_id", gap_seconds=1800.0
+        ).collect()
+    }
+    got = {
+        (r["user_id"], r["event_id"], r["session_idx"])
+        for r in out_none.collect()
+    }
+    assert got == want
+
+
+def test_streaming_sessionize_ttl_bounds_summary_state(spark, tmp_path):
+    """Bounded summary under one-shot key churn: with a TTL, dead keys'
+    summaries leave the state store (final state blob shrinks several-fold
+    vs ttl=None), while the emitted rows are identical — every one-shot
+    key is session 0 either way."""
+    import datetime
+    import glob as g
+
+    t0 = datetime.datetime(2024, 7, 1)
+    pdf = pd.DataFrame(
+        {
+            "user_id": range(1200),
+            "ts": [
+                t0 + datetime.timedelta(seconds=10.0 * i) for i in range(1200)
+            ],
+            "event_id": range(1200),
+        }
+    )
+    in_dir = str(tmp_path / "input")
+    _write_session_chunks(in_dir, pdf, n_files=6)
+
+    def final_state_bytes(ck):
+        files = g.glob(os.path.join(ck, "state", "**", "*.delta"),
+                       recursive=True)
+        # n_buckets=1: every delta rewrites the single group's whole blob,
+        # so the largest delta IS the peak serialized state
+        return max(os.path.getsize(f) for f in files)
+
+    out_ttl = _run_streaming_sessionize(
+        spark, in_dir, str(tmp_path / "o1"), str(tmp_path / "ck1"),
+        gap=300.0, ttl=1800.0,
+    )
+    out_none = _run_streaming_sessionize(
+        spark, in_dir, str(tmp_path / "o2"), str(tmp_path / "ck2"),
+        gap=300.0, ttl=None,
+    )
+    rows_ttl = sorted(
+        (r["user_id"], r["event_id"], r["session_idx"])
+        for r in out_ttl.collect()
+    )
+    rows_none = sorted(
+        (r["user_id"], r["event_id"], r["session_idx"])
+        for r in out_none.collect()
+    )
+    assert rows_ttl == rows_none
+    assert len(rows_ttl) == 1200
+    assert all(s == 0 for (_, _, s) in rows_ttl)
+    sz_ttl = final_state_bytes(str(tmp_path / "ck1"))
+    sz_none = final_state_bytes(str(tmp_path / "ck2"))
+    assert sz_ttl < sz_none * 0.6, (sz_ttl, sz_none)
+
+
+def test_streaming_sessionize_equal_ts_at_watermark_boundary(spark, tmp_path):
+    """ADVICE round-4: a row whose event time EQUALS the watermark must be
+    buffered, not dropped — equal ms-aligned timestamps may straddle
+    adjacent time-ordered chunks, and the straddling row must still match
+    the batch sessionize (keep >= wm, seal strictly < wm)."""
+    import datetime
+
+    T = datetime.datetime(2024, 7, 1, 12, 0, 0)  # ms-aligned
+    rows = [
+        (1, T - datetime.timedelta(seconds=1000), 0),
+        (1, T, 1),
+        (1, T, 2),  # identical ts, lands in the NEXT chunk
+        (1, T + datetime.timedelta(seconds=100), 3),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id"])
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    # hand-placed chunks: chunk 0 ends at ts == T, chunk 1 begins at ts == T
+    pdf.iloc[:2].to_parquet(
+        os.path.join(in_dir, "part-000.parquet"),
+        index=False, coerce_timestamps="us",
+    )
+    pdf.iloc[2:].to_parquet(
+        os.path.join(in_dir, "part-001.parquet"),
+        index=False, coerce_timestamps="us",
+    )
+    pd.DataFrame(
+        {"user_id": [-1], "ts": [T + datetime.timedelta(hours=2)],
+         "event_id": [-1]}
+    ).to_parquet(
+        os.path.join(in_dir, "part-zz-flush.parquet"),
+        index=False, coerce_timestamps="us",
+    )
+    out = _run_streaming_sessionize(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ck"),
+        gap=300.0, ttl=None,
+    )
+    got = sorted(
+        (r["event_id"], r["session_idx"]) for r in out.collect()
+    )
+    from statefulstreamprocessor_spark.operators.sessions import sessionize
+
+    batch = spark.createDataFrame(
+        pdf, "user_id bigint, ts timestamp_ntz, event_id bigint"
+    )
+    want = sorted(
+        (r["id"], r["session_idx"])
+        for r in sessionize(
+            batch, "user_id", "ts", "event_id", gap_seconds=300.0
+        ).collect()
+    )
+    assert got == want and len(got) == 4
