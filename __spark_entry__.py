@@ -3012,6 +3012,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM base
             ), checks AS (
                 SELECT doc_id, concat_ws(',',
+                    -- NULL text fails closed (mirrors gopher_verdict_cols:
+                    -- every other rule's CASE is NULL on NULL input and
+                    -- concat_ws would skip it)
+                    CASE WHEN n_tokens IS NULL THEN 'null_text' END,
                     CASE WHEN n_tokens < 40 THEN 'too_few_tokens' END,
                     CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
                     CASE WHEN mean_token_len < 3.0

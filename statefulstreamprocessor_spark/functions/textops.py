@@ -127,6 +127,8 @@ def gopher_verdict_cols(
     min_mean_token_len: float = 3.0,
     max_mean_token_len: float = 10.0,
     min_stopword_hits: int = 2,
+    stopwords: list[str] | None = None,
+    lang: str = "en",
 ):
     """Gopher/MassiveText-style KEEP/DROP verdict as pure column
     expressions — the actual corpus filter the stats feed (the
@@ -135,16 +137,32 @@ def gopher_verdict_cols(
     auditable reason string).
 
     Rules (each a deterministic threshold on the shared tokenization):
-    token count inside [min_tokens, max_tokens]; mean token length
-    inside [min_mean_token_len, max_mean_token_len]; at least
-    ``min_stopword_hits`` distinct English stopword hits (the
-    "contains common words" prose test). Output columns: ``keep``
-    boolean + ``drop_reasons`` (comma-joined stable order, '' when
-    kept) — strings, not arrays, so driver-gate canonicalization holds.
-    Zero exchanges: everything is a scalar expression over the row.
+    text must be non-NULL (NULL is unscoreable and FAILS CLOSED with
+    reason ``null_text`` — every other rule's comparison is NULL on
+    NULL input and ``concat_ws`` would silently skip it, turning a
+    corpus filter into a keep-everything-unscoreable hole, ADVICE
+    round-4); token count inside [min_tokens, max_tokens]; mean token
+    length inside [min_mean_token_len, max_mean_token_len]; at least
+    ``min_stopword_hits`` distinct stopword hits (the "contains common
+    words" prose test) against ``stopwords`` if given, else the
+    built-in list for ``lang`` (en/de/fr/es — the round-4 default
+    hardcoded English, silently dropping most non-English corpora).
+    Output columns: ``keep`` boolean + ``drop_reasons`` (comma-joined
+    stable order, '' when kept) — strings, not arrays, so driver-gate
+    canonicalization holds. Zero exchanges: everything is a scalar
+    expression over the row.
     """
+    if stopwords is None:
+        if lang not in _STOPWORDS:
+            raise ValueError(
+                f"no built-in stopword list for lang={lang!r} "
+                f"(have {sorted(_STOPWORDS)}); pass stopwords= explicitly"
+            )
+        stopwords = _STOPWORDS[lang]
     q = quality_score_cols(text_col)
     checks = [
+        # first and unconditional: NULL text fails closed (see docstring)
+        ("null_text", text_col.isNull()),
         ("too_few_tokens", q["n_tokens"] < min_tokens),
         ("too_many_tokens", q["n_tokens"] > max_tokens),
         ("mean_token_len_low", q["mean_token_len"] < min_mean_token_len),
@@ -157,7 +175,7 @@ def gopher_verdict_cols(
         toks = F.split(F.lower(F.trim(text_col)), r"\s+")
         stop_hits = F.size(
             F.array_intersect(
-                toks, F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+                toks, F.array(*[F.lit(w) for w in stopwords])
             )
         )
         checks.append(("too_few_stopwords", stop_hits < min_stopword_hits))

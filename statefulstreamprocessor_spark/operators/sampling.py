@@ -126,8 +126,12 @@ def quantile_bucket_sample(
         F.lit(1).alias("__one"),
     )
     # default bucket width: one value-unit of the packed key — rows tie on
-    # value stay in one range bucket; override for very hot single values
-    width = bucket_width or key_mult
+    # value stay in one range bucket; override for very hot single values.
+    # `is None`, not falsy-or: an explicit bucket_width=0 must raise, not
+    # silently become the default (the sessionize_banded discipline)
+    width = key_mult if bucket_width is None else bucket_width
+    if width <= 0:
+        raise ValueError("bucket_width must be positive")
     ranked = global_cumsum(keyed, "__key", "__one", width, out_col="__rank")
     n_total = keyed.select(F.count(F.lit(1)).alias("__n"))
     bucketed = ranked.crossJoin(F.broadcast(n_total)).select(

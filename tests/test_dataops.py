@@ -505,6 +505,11 @@ def test_quantile_bucket_sample_balanced_and_plan(spark):
     )
     with pytest.raises(Exception, match="quantile_bucket_sample requires"):
         quantile_bucket_sample(big, "n_chars", "doc_id", 2, 1).collect()
+    # an explicit bucket_width=0 raises instead of silently becoming the
+    # default (`is None`, not falsy-or — ADVICE round-4)
+    ok = spark.createDataFrame([(5, 3)], "doc_id bigint, n_chars bigint")
+    with pytest.raises(ValueError, match="bucket_width must be positive"):
+        quantile_bucket_sample(ok, "n_chars", "doc_id", 2, 1, bucket_width=0)
 
 
 def test_ngram_repetition_stats(spark):

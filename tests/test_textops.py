@@ -359,6 +359,64 @@ def test_gopher_verdict_cols(spark):
     assert got[4] == (False, "mean_token_len_high,too_few_stopwords")
 
 
+def test_gopher_verdict_null_text_fails_closed(spark):
+    """NULL text must DROP with reason null_text, never silently keep:
+    every other rule's condition is NULL on NULL input and concat_ws
+    skips NULLs, so without the explicit rule an unscoreable document
+    sails through a corpus-cleaning filter (ADVICE round-4)."""
+    from pyspark.sql import functions as F
+
+    from statefulstreamprocessor_spark.functions.textops import (
+        gopher_verdict_cols,
+    )
+
+    good = "the " + " ".join(f"word{i}" for i in range(60))
+    df = spark.createDataFrame([(0, good), (1, None)], "id long, t string")
+    v = gopher_verdict_cols(F.col("t"), min_tokens=40, min_stopword_hits=1)
+    got = {
+        r["id"]: (r["keep"], r["drop_reasons"])
+        for r in df.select(
+            "id", v["keep"].alias("keep"),
+            v["drop_reasons"].alias("drop_reasons"),
+        ).collect()
+    }
+    assert got[0] == (True, "")
+    assert got[1] == (False, "null_text")
+
+
+def test_gopher_verdict_language_parameter(spark):
+    """The stopword prose test follows lang=/stopwords=: a German doc
+    keeps under lang='de' but fails too_few_stopwords under the English
+    default (the round-4 hardcoded-English trap); an explicit stopword
+    list wins outright; unknown lang raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from statefulstreamprocessor_spark.functions.textops import (
+        gopher_verdict_cols,
+    )
+
+    german = "und " + " ".join(f"wort{i}" for i in range(60))
+    df = spark.createDataFrame([(0, german)], "id long, t string")
+
+    def verdict(**kw):
+        v = gopher_verdict_cols(
+            F.col("t"), min_tokens=40, min_stopword_hits=1, **kw
+        )
+        return df.select(
+            v["keep"].alias("keep"), v["drop_reasons"].alias("r")
+        ).first()
+
+    en = verdict()
+    assert (en["keep"], en["r"]) == (False, "too_few_stopwords")
+    de = verdict(lang="de")
+    assert (de["keep"], de["r"]) == (True, "")
+    custom = verdict(stopwords=["wort1", "wort2"])
+    assert custom["keep"]
+    with _pytest.raises(ValueError, match="no built-in stopword list"):
+        gopher_verdict_cols(F.col("t"), lang="xx")
+
+
 def test_compression_ratio_udf(spark):
     """Compression-ratio quality signal == direct zlib oracle; repetitive
     text reads far lower than varied text; NULL/empty handled."""
