@@ -151,6 +151,36 @@ def q_asof_backward_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_backward_banded_nt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-FREE hot-key as-of (VERDICT round-4 #6): identical row
+    set to q_asof_backward (same oracle) but with each key's timeline
+    sharded into 1 h bands and the nearest-earlier click carried across
+    empty bands by a band-LEVEL running last — unbounded lookback
+    without replicating right rows or serializing a hot user's
+    timeline (operators/asof.py:_asof_banded_carry)."""
+    from statefulstreamprocessor_spark.operators.asof import asof_join_banded
+
+    ev = _load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join_banded(
+        left, right, "user_id", "ts", direction="backward",
+        tolerance=None, band_seconds=3600.0,
+    )
+    return out.select(
+        "user_id",
+        _us("ts").alias("ts_us"),
+        "event_id",
+        "value",
+        _us("right_ts").alias("click_ts_us"),
+        F.col("right_event_id").alias("click_event_id"),
+    )
+
+
 def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join: each purchase enriched with the earliest click
     at-or-after it (inclusive at equal timestamps — ADVICE round-1 fix)."""
@@ -2168,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "stream_join_rollup": q_stream_join_rollup,
         "asof_backward_banded": q_asof_backward_banded,
+        "asof_backward_banded_nt": q_asof_backward_banded_nt,
         "paragraph_dedup": q_paragraph_dedup,
         "boilerplate_lines": q_boilerplate_lines,
         "frequent_words": q_frequent_words,
@@ -2565,7 +2596,7 @@ _WINNOW_FPS_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "nn_pair_join": _NN_ORACLE.format(extra_where=""),
         "nn_pair_join_streaming": _NN_ORACLE.format(extra_where=""),
         "nn_pair_join_delta": (
@@ -3797,3 +3828,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE r_ts IS NOT NULL AND s_ts IS NOT NULL
         """,
     }
+    # tolerance-free banded as-of: same semantics (and oracle) as the
+    # plain backward as-of — the band-carry construction changes only the
+    # physical plan, never the row set
+    d["asof_backward_banded_nt"] = d["asof_backward"]
+    return d

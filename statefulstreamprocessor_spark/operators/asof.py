@@ -173,6 +173,93 @@ def asof_join(
     )
 
 
+def _asof_banded_carry(
+    merged: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    direction: str,
+    ts_dtype: str,
+    left_payload: list[str],
+    right_payload: list[str],
+    right_prefix: str,
+    width: float,
+) -> DataFrame:
+    """Tolerance-FREE banded as-of: band-level predecessor carry.
+
+    Without a tolerance a band cannot bound how far back (forward) the
+    nearest right row sits, so instead of replicating right rows into
+    neighbor bands, the nearest right row OUTSIDE the band is carried in
+    at the band level — the ``series_derivative_banded`` trick
+    generalized: per (key, band) reduce to the band's best right row
+    (latest for backward, earliest for forward), run a running
+    ``last(…, ignorenulls)`` over the BAND-LEVEL rows only (≤ span/width
+    rows per key, never the data), and each left row coalesces its
+    intra-band candidate with the band carry. Ties on right timestamp
+    are broken by the right payload struct (max for backward / min for
+    forward) in BOTH the window order and the band reduction, so the
+    pick is deterministic — which requires the right payload struct to
+    be orderable (atomic columns; same caveat as any struct sort key).
+    """
+    to_units, ups = _time_units_fn(ts_dtype)
+    width_units = int(round(width * ups)) if ups != 1 else width
+    banded = merged.withColumn(
+        "__bucket",
+        F.floor(to_units(F.col("__ts")) / F.lit(width_units)).cast("long"),
+    )
+    right_struct = F.when(
+        F.col("__side") == 0,
+        F.struct(F.col("__ts").alias("t"), F.col("__rp").alias("p")),
+    )
+    if direction == "backward":
+        order = [
+            F.col("__ts").asc(), F.col("__side").asc(), F.col("__rp").asc()
+        ]
+        band_order = F.col("__bucket").asc()
+        band_best = F.max(right_struct)
+    else:
+        order = [
+            F.col("__ts").desc(), F.col("__side").asc(), F.col("__rp").desc()
+        ]
+        band_order = F.col("__bucket").desc()
+        band_best = F.min(right_struct)
+    w = (
+        Window.partitionBy(*keys, "__bucket")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cand_intra = F.last(right_struct, ignorenulls=True).over(w)
+    ann = banded.withColumn("__cand0", cand_intra).filter(F.col("__side") == 1)
+    # band-level rows: the groupBy reuses the (key, band) partitioning the
+    # window just established; the carry window runs over ≤ span/width
+    # rows per key — tiny by construction
+    bands = banded.groupBy(*keys, "__bucket").agg(
+        band_best.alias("__band_best")
+    )
+    wband = (
+        Window.partitionBy(*keys)
+        .orderBy(band_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = bands.select(
+        *keys,
+        "__bucket",
+        F.last("__band_best", ignorenulls=True).over(wband).alias("__carry"),
+    )
+    joined = ann.join(carry, [*keys, "__bucket"])
+    cand = F.coalesce(F.col("__cand0"), F.col("__carry"))
+    out = (
+        [F.col(k) for k in keys]
+        + [F.col(f"__lp.{c}").alias(c) for c in left_payload]
+        + [cand.getField("t").alias(f"{right_prefix}{ts_col}")]
+        + [
+            cand.getField("p").getField(c).alias(f"{right_prefix}{c}")
+            for c in right_payload
+            if c != ts_col
+        ]
+    )
+    return joined.select(*out)
+
+
 def asof_join_banded(
     df_left: DataFrame,
     df_right: DataFrame,
@@ -209,12 +296,45 @@ def asof_join_banded(
     Output is identical to ``asof_join(..., tolerance=tolerance)``
     (equality-tested, including a hot-key fixture); the plan trades 2×
     right-row duplication for #buckets-way parallelism inside each key.
+
+    ``tolerance=None`` (round 5) switches to the band-level
+    predecessor-carry construction (:func:`_asof_banded_carry`):
+    ``band_seconds`` is then required, right rows are NOT replicated,
+    and the nearest right row outside a left row's band arrives via a
+    running carry over band-level rows — an unbounded-lookback as-of
+    that still shards hot keys. Right-timestamp ties resolve by the
+    right payload struct (deterministic; payload must be orderable),
+    where the tolerance path inherits ``asof_join``'s
+    arbitrary-among-ties pick.
     """
     if isinstance(keys, str):
         keys = [keys]
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    if tolerance is None or tolerance <= 0:
+    if tolerance is None:
+        if band_seconds is None:
+            raise ValueError(
+                "asof_join_banded requires a positive tolerance, or "
+                "band_seconds for the tolerance-free carry variant"
+            )
+        width = float(band_seconds)
+        if width <= 0:
+            raise ValueError("band_seconds must be positive")
+        merged, left_payload, right_payload = _merge_sides(
+            df_left, df_right, keys, ts_col
+        )
+        return _asof_banded_carry(
+            merged,
+            keys,
+            ts_col,
+            direction,
+            df_left.schema[ts_col].dataType.simpleString(),
+            left_payload,
+            right_payload,
+            right_prefix,
+            width,
+        )
+    if tolerance <= 0:
         raise ValueError("asof_join_banded requires a positive tolerance")
     # `is None`, not falsy-or: an explicit band_seconds=0 must hit the
     # validation below, not silently become the default

@@ -184,6 +184,53 @@ def test_asof_banded_equals_plain(spark):
         asof_join_banded(left, right, "key", "ts", tolerance=10.0, band_seconds=0.0)
 
 
+def test_asof_banded_tolerance_free_equals_plain(spark):
+    """Tolerance-FREE banded as-of (band-level predecessor carry) ==
+    plain asof_join with no tolerance, on a hot-key fixture whose right
+    rows cluster at the edges — so the carry must cross MANY consecutive
+    empty bands — plus leading left rows with no predecessor at all.
+    Timestamps are unique per key: the plain form's pick among
+    right-timestamp ties is arbitrary, the carry form's is pinned to the
+    payload (documented divergence)."""
+    import random as _rnd
+
+    from statefulstreamprocessor_spark.operators.asof import (
+        asof_join,
+        asof_join_banded,
+    )
+
+    _rnd.seed(43)
+    rows_l, rows_r = [], []
+    for i in range(300):
+        key = "hot" if _rnd.random() < 0.8 else f"k{_rnd.randrange(4)}"
+        rows_l.append((key, i * 7 + 0.5, float(i)))
+    for i in range(80):
+        key = "hot" if _rnd.random() < 0.8 else f"k{_rnd.randrange(4)}"
+        # right rows only near the start and the end of the span: the
+        # middle left rows look back/forward across dozens of empty bands
+        ts = i * 6 + 0.25 if i < 40 else 1800 + i * 6 + 0.25
+        rows_r.append((key, ts, float(i)))
+    left = spark.createDataFrame(rows_l, ["key", "ts", "lv"]).repartition(7)
+    right = spark.createDataFrame(rows_r, ["key", "ts", "rv"]).repartition(5)
+
+    def canon(df):
+        return sorted(
+            (r["key"], r["ts"], r["lv"], r["right_ts"], r["right_rv"])
+            for r in df.collect()
+        )
+
+    for direction in ("backward", "forward"):
+        plain = canon(asof_join(left, right, "key", "ts", direction))
+        for band in (50.0, 1000.0):
+            carried = canon(
+                asof_join_banded(
+                    left, right, "key", "ts", direction,
+                    tolerance=None, band_seconds=band,
+                )
+            )
+            assert carried == plain, (direction, band)
+
+
 def test_asof_banded_timestamp_and_parallel_partitions(spark):
     """Timestamp columns bucket correctly, and the banded plan's window
     partitions on (key, bucket) — the hot key genuinely shards."""
