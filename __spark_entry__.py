@@ -1185,6 +1185,35 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal under the hard gate
+    (VERDICT round-4 #7): zlib has no SQL analogue, so the gate uses a
+    PLANTED construction — per doc a repeat count derived from the real
+    document's length (1 + length % 29, with doc_id-planted NULL and
+    empty cases) expands a fixed base sentence, and the oracle joins the
+    same count against ratios precomputed by the very same stdlib zlib
+    at the same level (deterministic for a fixed level, the multimodal
+    planted-oracle pattern). The UDF itself is the production signal:
+    Arrow-batched, any text column."""
+    from statefulstreamprocessor_spark.functions.textops import (
+        compression_ratio_udf,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    base = "the quick brown fox jumps over the lazy dog "
+    txt = (
+        F.when(F.col("doc_id") % 37 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 31 == 0, F.lit(""))
+        .otherwise(
+            F.expr(
+                f"repeat('{base}', CAST(length(text) % 29 + 1 AS INT))"
+            )
+        )
+    )
+    ratio = compression_ratio_udf(level=6)
+    return docs.select("doc_id", ratio(txt).alias("c_ratio"))
+
+
 def q_decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination, exact form: drop training docs whose
     content fingerprint appears in the (small, broadcast) eval set —
@@ -2209,6 +2238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_1h_15m_streaming": q_sliding_1h_15m_streaming,
         "streaming_sessionize": q_streaming_sessionize,
         "gopher_filter": q_gopher_filter,
+        "compression_ratio": q_compression_ratio,
         "doc_ngram_repetition": q_doc_ngram_repetition,
         "winnow_shared_pairs": q_winnow_shared_pairs,
         "clean_pipeline": q_clean_pipeline,
@@ -3832,4 +3862,52 @@ def oracle_sql() -> dict[str, str]:
     # plain backward as-of — the band-carry construction changes only the
     # physical plan, never the row set
     d["asof_backward_banded_nt"] = d["asof_backward"]
+    # planted-construction zlib oracle: ratios below were computed by the
+    # SAME stdlib zlib at level 6 over base*n (q_compression_ratio's base
+    # sentence), so the join replays the UDF exactly; n=0 is the empty
+    # string (ratio 1.0 by definition), NULL text stays NULL via the
+    # left join's missing n
+    d["compression_ratio"] = """
+        WITH planted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 37 = 0 THEN NULL
+                        WHEN doc_id % 31 = 0 THEN 0
+                        ELSE 1 + length(text) % 29 END AS n
+            FROM documents
+        ), expected(n, r) AS (
+            VALUES
+                (0, 1.0),
+                (1, 1.159091),
+                (2, 0.613636),
+                (3, 0.409091),
+                (4, 0.306818),
+                (5, 0.245455),
+                (6, 0.204545),
+                (7, 0.178571),
+                (8, 0.159091),
+                (9, 0.141414),
+                (10, 0.127273),
+                (11, 0.115702),
+                (12, 0.106061),
+                (13, 0.101399),
+                (14, 0.094156),
+                (15, 0.087879),
+                (16, 0.082386),
+                (17, 0.07754),
+                (18, 0.073232),
+                (19, 0.07177),
+                (20, 0.068182),
+                (21, 0.064935),
+                (22, 0.061983),
+                (23, 0.059289),
+                (24, 0.056818),
+                (25, 0.056364),
+                (26, 0.054196),
+                (27, 0.052189),
+                (28, 0.051136),
+                (29, 0.049373)
+        )
+        SELECT p.doc_id, CAST(e.r AS DOUBLE) AS c_ratio
+        FROM planted p LEFT JOIN expected e ON p.n = e.n
+    """
     return d
