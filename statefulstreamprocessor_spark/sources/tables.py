@@ -220,6 +220,72 @@ class TableHandle:
         self._commit_swap(os.path.join(staged, "data"))
         return len(self.data_files())
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        when_matched: str = "update",
+    ) -> None:
+        """Iceberg ``MERGE INTO`` analogue: upsert (or delete) by key,
+        committed atomically via :meth:`_commit_swap`.
+
+        ``when_matched="update"``: target rows whose key appears in
+        ``source`` are REPLACED by the source row, unmatched source rows
+        are INSERTED (the classic upsert). ``when_matched="delete"``:
+        matched target rows are removed and nothing is inserted.
+        Multiple source rows for one key raise (the same
+        cardinality-violation error Iceberg's MERGE throws — silently
+        picking one would be nondeterministic).
+
+        Scale shape: the target anti-joins the source's DISTINCT keys —
+        a hash (or, under the broadcast threshold/AQE, broadcast) join
+        on the merge key, the only shuffle the corpus sees; the union
+        with the source is shuffle-free. The rewrite stages a full new
+        snapshot like every other maintenance action here (parquet is
+        immutable; real Iceberg would rewrite only the touched files —
+        same commit contract, coarser granularity), so :meth:`changelog`
+        shows exactly the merged delta afterwards.
+        """
+        if when_matched not in ("update", "delete"):
+            raise ValueError(
+                f"when_matched must be update|delete, got {when_matched!r}"
+            )
+        declared = self.spark.createDataFrame([], self.schema_ddl).schema
+        if when_matched == "update":
+            got = {f.name: f.dataType for f in source.schema.fields}
+            want = {f.name: f.dataType for f in declared.fields}
+            if got != want:
+                raise ValueError(
+                    f"schema mismatch: table declares {want}, merge source "
+                    f"got {got}"
+                )
+        dup = (
+            source.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge source has multiple rows for key "
+                f"{tuple(dup[0][k] for k in keys)!r} — MERGE requires at "
+                "most one source row per target key"
+            )
+        src_keys = source.select(*keys).distinct()
+        survivors = self.read().join(src_keys, keys, "left_anti")
+        merged = (
+            survivors.unionByName(source.select(*[f.name for f in declared]))
+            if when_matched == "update"
+            else survivors
+        )
+        staged = tempfile.mkdtemp(prefix="compact_", dir=self.path)
+        wr = merged.write.mode("overwrite")
+        if self.partition_by:
+            wr = wr.partitionBy(*self.partition_by)
+        wr.parquet(os.path.join(staged, "data"))
+        self._commit_swap(os.path.join(staged, "data"))
+
     def compact_latest_by_key(self, keys: list[str], order_col: str) -> None:
         """Kafka log-compaction analogue: keep the max-``order_col`` row per
         key, committed atomically via :meth:`_commit_swap`."""

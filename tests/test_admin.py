@@ -281,3 +281,53 @@ def test_mqtt_qos2_contract_dedups_redeliveries_across_resume(spark, tmp_path):
     assert got2 == list(range(15)), "redelivered packet leaked or lost"
     payloads = {r["packet_id"]: r["payload"] for r in rows}
     assert all(payloads[i] == f"payload-{i}" for i in range(15))
+
+
+def test_merge_into_upsert_delete_and_changelog(spark, tmp_path):
+    """Iceberg MERGE INTO analogue: matched keys update, unmatched
+    source rows insert, delete mode removes; the changelog after the
+    merge is exactly the merged delta; duplicate-key sources and schema
+    mismatches raise."""
+    t = create_table(spark, str(tmp_path / "t"), DDL, partition_by=["lang"])
+    t.append(_rows(spark, 6))  # u0..u5, n=0..5
+    src = spark.createDataFrame(
+        [
+            ("u1", None, "de", 101),   # matched -> update (lang moves too)
+            ("u4", None, "en", 104),   # matched -> update
+            ("u9", None, "en", 109),   # unmatched -> insert
+        ],
+        DDL,
+    )
+    t.merge_into(src, ["url"])
+    got = {r["url"]: (r["lang"], r["n"]) for r in t.read().collect()}
+    assert got == {
+        "u0": ("en", 0), "u2": ("en", 2), "u3": ("de", 3), "u5": ("de", 5),
+        "u1": ("de", 101), "u4": ("en", 104), "u9": ("en", 109),
+    }
+    # changelog vs the pre-merge snapshot: exactly the merged delta
+    delta = {
+        (r["url"], r["n"]): r["_change"] for r in t.changelog().collect()
+    }
+    assert delta == {
+        ("u1", 1): -1, ("u4", 4): -1,          # replaced rows left
+        ("u1", 101): 1, ("u4", 104): 1,        # their updates arrived
+        ("u9", 109): 1,                        # the insert
+    }
+    # delete mode
+    t.merge_into(
+        spark.createDataFrame([("u9", None, "en", 0)], DDL),
+        ["url"],
+        when_matched="delete",
+    )
+    assert sorted(r["url"] for r in t.read().collect()) == [
+        "u0", "u1", "u2", "u3", "u4", "u5"
+    ]
+    # cardinality violation: two source rows for one key
+    dup = spark.createDataFrame([("u1", None, "en", 1), ("u1", None, "de", 2)], DDL)
+    with pytest.raises(ValueError, match="multiple rows"):
+        t.merge_into(dup, ["url"])
+    # schema enforcement in update mode
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.merge_into(spark.createDataFrame([(1,)], "x int"), ["x"])
+    # reload sees the committed state (atomic metadata)
+    assert load_table(spark, str(tmp_path / "t")).read().count() == 6
