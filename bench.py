@@ -149,13 +149,12 @@ def scaling_worker(cores: int, input_dir: str, reps: int = 1) -> None:
     warm_q.awaitTermination()
     shutil.rmtree(warm_out, ignore_errors=True)
 
-    # reps > 1 (short leg of the concurrent protocol): measure the same job
-    # several times in THIS JVM — back-to-back runs span the same wall
-    # window as the long leg running concurrently on its own cpuset, so a
-    # single bad steal minute can't decide the leg. MEDIAN kept, all
-    # reported: round 3 kept the best rep, which biased the recorded
-    # efficiency upward (best-of on the numerator only — ADVICE round-3);
-    # the median is a symmetric statistic against the single-run leg.
+    # reps > 1: measure the same job several times back-to-back in THIS
+    # JVM so a single bad steal minute can't decide the leg. MEDIAN kept,
+    # all reported: round 3 kept the best rep (asymmetric-biased, ADVICE
+    # round-3); round 5 runs the SAME rep count on BOTH legs so the
+    # recorded efficiency is median/median — fully symmetric (VERDICT
+    # round-4 #3).
     runs = []
     for _ in range(max(reps, 1)):
         rep_out = tempfile.mkdtemp(prefix=f"ssp_scale_{cores}_", dir="/dev/shm")
@@ -373,23 +372,29 @@ def run_scaling(extra: dict) -> None:
         # BOTH legs run at the same time on disjoint cpusets, so they see
         # the same machine window and the VM's minute-scale steal noise
         # cancels out of the throughput ratio (sequential legs measured
-        # 0.68-0.85 for identical code purely from window luck). The big
-        # leg finishes ~3-4x sooner, so it measures the job `big_reps`
-        # times back-to-back inside one JVM — spanning the same wall
-        # window as the long small leg — and keeps the MEDIAN rep (all
-        # reps reported in the JSON; best-of was asymmetric-biased,
-        # ADVICE round-3).
-        big_reps = int(os.environ.get("SPARK_GRAFT_SCALE_BIG_REPS", "3"))
+        # 0.68-0.85 for identical code purely from window luck). Round 5
+        # (VERDICT round-4 #3): BOTH legs run the SAME rep count
+        # back-to-back inside one JVM and report their MEDIAN rep, so the
+        # recorded efficiency is median/median — a fully symmetric
+        # statistic (round 4 repped only the big leg, letting small-leg
+        # noise pass straight into the ratio, which once read 1.005).
+        # All reps stay in the JSON.
+        reps = int(
+            os.environ.get(
+                "SPARK_GRAFT_SCALE_REPS",
+                os.environ.get("SPARK_GRAFT_SCALE_BIG_REPS", "3"),
+            )
+        )
         p_small = subprocess.Popen(
-            _cmd(n_small, 1), stdout=subprocess.PIPE,
+            _cmd(n_small, reps), stdout=subprocess.PIPE,
             stderr=subprocess.PIPE, text=True, cwd=here,
         )
         p_big = subprocess.Popen(
-            _cmd(n_big, big_reps), stdout=subprocess.PIPE,
+            _cmd(n_big, reps), stdout=subprocess.PIPE,
             stderr=subprocess.PIPE, text=True, cwd=here,
         )
-        out_s, err_s = p_small.communicate(timeout=1200)
-        out_b, err_b = p_big.communicate(timeout=1200)
+        out_s, err_s = p_small.communicate(timeout=2400)
+        out_b, err_b = p_big.communicate(timeout=2400)
         res_s, res_b = _parse(out_s, err_s), _parse(out_b, err_b)
         if res_s is None or res_b is None:
             return
@@ -437,8 +442,8 @@ def run_scaling(extra: dict) -> None:
         "input_rows": BENCH_ROWS,
         "method": (
             "concurrent disjoint-cpuset legs (taskset), same input, "
-            "same wall window; big leg median-of-reps in-window "
-            "(symmetric statistic)"
+            "same wall window; SAME rep count on both legs, efficiency "
+            "= median/median (fully symmetric statistic)"
             if mode == "concurrent"
             else "interleaved sequential best-of per level, same input%s"
             % (", disjoint cpusets (taskset)" if pin else "")
