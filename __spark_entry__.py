@@ -2082,6 +2082,87 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM as-of enrichment as a CUSTOM STATEFUL operator
+    (streaming/asof.py — the unbounded-lookback gap-record enrichment
+    Spark's built-in stream-stream join cannot express without a range
+    bound): purchases and clicks replay as ONE merged watermarked
+    stream, every purchase comes back out with its latest earlier click,
+    pinned to the SAME DuckDB oracle as the batch q_asof_backward. The
+    per-key latest-click summary state is TTL-bounded (90 d here, far
+    beyond the dataset span — eviction path on, output unchanged)."""
+    import datetime
+    import os
+    import tempfile
+
+    from statefulstreamprocessor_spark.sources.staging import (
+        append_flush_file,
+        write_time_ordered_chunks,
+    )
+    from statefulstreamprocessor_spark.streaming.asof import (
+        streaming_asof_enrich,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    merged = ev.filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", "l")
+        .otherwise("r")
+        .alias("side"),
+    )
+    tmp = tempfile.mkdtemp(prefix="ssp_strasof_gate_")
+    in_dir = os.path.join(tmp, "input")
+    idx = write_time_ordered_chunks(merged, in_dir, n_files=3, ts_col="ts")
+    mx = merged.agg(F.max("ts").alias("m")).first()["m"]
+    flush = spark.createDataFrame(
+        [(-1, mx + datetime.timedelta(hours=2), -1, 0.0, "r")],
+        "user_id bigint, ts timestamp_ntz, event_id bigint, value double, "
+        "side string",
+    )
+    append_flush_file(flush, in_dir, idx)
+    raw = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp_ntz, event_id bigint, "
+            "value double, side string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    stream = raw.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "value", "side",
+    ).withWatermark("ts", "0 seconds")
+    out = streaming_asof_enrich(
+        stream, ["user_id"], "ts", "side",
+        left_cols=["event_id", "value"], right_cols=["event_id"],
+        n_buckets=32, state_ttl=90 * 86400.0,
+    )
+    out_dir = os.path.join(tmp, "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(tmp, "checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(out_dir)
+    return res.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        _us(F.col("ts").cast("timestamp_ntz")).alias("ts_us"),
+        "event_id",
+        "value",
+        _us(F.col("right_ts").cast("timestamp_ntz")).alias("click_ts_us"),
+        F.col("right_event_id").alias("click_event_id"),
+    )
+
+
 def q_sliding_1h_15m_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1 h / 15 min window counts in STREAMING mode (availableNow
     + 0 s watermark + append output), pinned to the same DuckDB oracle as
@@ -2278,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_backward_banded_nt": q_asof_backward_banded_nt,
         "compression_ratio": q_compression_ratio,
         "table_merge": q_table_merge,
+        "streaming_asof": q_streaming_asof,
         # round-5 changed code
         "streaming_sessionize": q_streaming_sessionize,
         "gopher_filter": q_gopher_filter,
@@ -2326,9 +2408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_repetition": q_doc_ngram_repetition,
         "winnow_shared_pairs": q_winnow_shared_pairs,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "sessionize": q_sessionize,
         # past position 50: every one below has an r04-recorded green row
         # and byte-untouched code this round
+        "sessionize": q_sessionize,
         "funnel_3step": q_funnel_3step,
         "series_trend": q_series_trend,
         "resample_ffill": q_resample_ffill,
@@ -3924,6 +4006,9 @@ def oracle_sql() -> dict[str, str]:
     # plain backward as-of — the band-carry construction changes only the
     # physical plan, never the row set
     d["asof_backward_banded_nt"] = d["asof_backward"]
+    # custom stateful stream-stream as-of: the replay must emit exactly
+    # the batch backward as-of's rows — same oracle
+    d["streaming_asof"] = d["asof_backward"]
     # MERGE INTO: the oracle replays upsert semantics declaratively —
     # survivors are target rows whose key is absent from the source, the
     # source arrives wholesale

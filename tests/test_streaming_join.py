@@ -816,3 +816,129 @@ def test_streaming_sessionize_equal_ts_at_watermark_boundary(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) == 4
+
+
+def test_streaming_asof_enrich_resume_equals_batch(spark, tmp_path):
+    """Custom stateful stream-stream as-of enrichment: kill after half
+    the input, resume the rest from the checkpoint — the union must
+    equal the batch backward asof_join row-for-row (the per-key
+    latest-right summary survives the restart; no dupes, no gaps)."""
+    import datetime
+
+    import numpy as np
+
+    from statefulstreamprocessor_spark.operators.asof import asof_join
+    from statefulstreamprocessor_spark.streaming.asof import (
+        streaming_asof_enrich,
+    )
+
+    rng = np.random.default_rng(11)
+    t0 = datetime.datetime(2024, 7, 1)
+    rows, eid = [], 0
+    for u in range(25):
+        t = float(rng.integers(0, 600))
+        for _ in range(int(rng.integers(8, 30))):
+            t += float(rng.choice([3, 50, 900, 20000]))
+            side = "l" if rng.random() < 0.5 else "r"
+            rows.append(
+                (u, t0 + datetime.timedelta(seconds=t, microseconds=int(eid)),
+                 eid, float(eid) / 10, side)
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "ts", "event_id", "value", "side"]
+    ).sort_values("ts", kind="mergesort")
+    in_dir = os.path.join(str(tmp_path), "input")
+    os.makedirs(in_dir)
+    step = (len(pdf) + 3) // 4
+    chunks = [
+        pdf.iloc[i * step : (i + 1) * step].sample(frac=1.0, random_state=i)
+        for i in range(4)
+    ]
+    out_dir = os.path.join(str(tmp_path), "out")
+
+    def run():
+        raw = (
+            spark.readStream.schema(
+                "user_id bigint, ts timestamp_ntz, event_id bigint, "
+                "value double, side string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        stream = raw.select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"),
+            "event_id", "value", "side",
+        ).withWatermark("ts", "0 seconds")
+        q = (
+            streaming_asof_enrich(
+                stream, ["user_id"], "ts", "side",
+                left_cols=["event_id", "value"], right_cols=["event_id"],
+                n_buckets=8, state_ttl=90 * 86400.0,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for i in (0, 1):
+        chunks[i].to_parquet(
+            os.path.join(in_dir, f"part-{i:03d}.parquet"),
+            index=False, coerce_timestamps="us",
+        )
+    run()
+    for i in (2, 3):
+        chunks[i].to_parquet(
+            os.path.join(in_dir, f"part-{i:03d}.parquet"),
+            index=False, coerce_timestamps="us",
+        )
+    mx = pdf["ts"].max()
+    pd.DataFrame(
+        [(-1, mx + datetime.timedelta(hours=2), -1, 0.0, "r")],
+        columns=["user_id", "ts", "event_id", "value", "side"],
+    ).to_parquet(
+        os.path.join(in_dir, "part-zz-flush.parquet"),
+        index=False, coerce_timestamps="us",
+    )
+    run()
+
+    res = spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)
+    got = sorted(
+        (
+            r["user_id"], pd.Timestamp(r["ts"]).value, r["event_id"],
+            r["value"],
+            None if r["right_ts"] is None else pd.Timestamp(r["right_ts"]).value,
+            r["right_event_id"],
+        )
+        for r in res.collect()
+    )
+    assert len(got) == len(set(got)), "duplicate emissions after resume"
+    sdf = spark.createDataFrame(
+        pdf,
+        "user_id bigint, ts timestamp_ntz, event_id bigint, value double, "
+        "side string",
+    )
+    left = sdf.filter(F.col("side") == "l").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    right = sdf.filter(F.col("side") == "r").select(
+        "user_id", "ts", "event_id"
+    )
+    want = sorted(
+        (
+            r["user_id"], pd.Timestamp(r["ts"]).value, r["event_id"],
+            r["value"],
+            None if r["right_ts"] is None else pd.Timestamp(r["right_ts"]).value,
+            r["right_event_id"],
+        )
+        for r in asof_join(
+            left, right, "user_id", "ts", direction="backward"
+        ).collect()
+    )
+    assert got == want, (
+        f"missing={len(set(want) - set(got))} extra={len(set(got) - set(want))}"
+    )
