@@ -173,6 +173,54 @@ class TableHandle:
             self.spark.createDataFrame([], self.schema_ddl).schema
         ).parquet(self.data_dir)
 
+    def read_previous(self) -> DataFrame:
+        """Time travel to the retained previous snapshot (Iceberg
+        ``VERSION AS OF`` with this layer's two-snapshot retention):
+        the exact file set the table showed before the last maintenance
+        commit. Raises if nothing is retained (fresh table or vacuumed).
+        Reads with the CURRENT declared schema — columns added since
+        that snapshot come back NULL, the same read-time fill
+        :meth:`add_column` relies on."""
+        if not self._prev_data_name:
+            raise ValueError(
+                "no previous snapshot retained (nothing committed yet, "
+                "or it was vacuumed)"
+            )
+        prev_dir = os.path.join(self.path, self._prev_data_name)
+        if not os.path.isdir(prev_dir):
+            raise ValueError(f"previous snapshot missing: {prev_dir}")
+        return self.spark.read.schema(
+            self.spark.createDataFrame([], self.schema_ddl).schema
+        ).parquet(prev_dir)
+
+    # ------------------------------------------------------ schema change
+    def add_column(self, name: str, dtype: str) -> None:
+        """Iceberg-style additive schema evolution: a METADATA-ONLY
+        commit — no data file is rewritten. Existing files simply lack
+        the column and every read fills it with NULL (the declared
+        read schema drives the parquet scan, Iceberg's id-based
+        projection semantics for an added field); subsequent appends
+        must carry it. The metadata replace is the same single atomic
+        commit point every other action uses."""
+        declared = self.spark.createDataFrame([], self.schema_ddl).schema
+        if name in [f.name for f in declared.fields]:
+            raise ValueError(f"column {name!r} already exists")
+        new_ddl = f"{self.schema_ddl}, {name} {dtype}"
+        # validate the DDL before committing it
+        self.spark.createDataFrame([], new_ddl)
+        meta = {
+            "schema": new_ddl,
+            "partition_by": self.partition_by,
+            "version": self._version,
+            "data_dir": self._data_name,
+            "previous_data_dir": self._prev_data_name,
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.path)
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.path, _META))
+        self.schema_ddl = new_ddl
+
     def data_files(self) -> list[str]:
         out = []
         for root, _dirs, files in os.walk(self.data_dir):

@@ -331,3 +331,40 @@ def test_merge_into_upsert_delete_and_changelog(spark, tmp_path):
         t.merge_into(spark.createDataFrame([(1,)], "x int"), ["x"])
     # reload sees the committed state (atomic metadata)
     assert load_table(spark, str(tmp_path / "t")).read().count() == 6
+
+
+def test_add_column_and_time_travel(spark, tmp_path):
+    """Additive schema evolution is metadata-only (old files read with
+    NULL fill, no rewrite), and read_previous() time-travels to the
+    retained snapshot with current-schema semantics."""
+    t = create_table(spark, str(tmp_path / "t"), DDL, partition_by=["lang"])
+    t.append(_rows(spark, 4))
+    files_before = t.data_files()
+    t.add_column("score", "double")
+    assert t.data_files() == files_before, "schema evolution rewrote data"
+    got = t.read()
+    assert "score" in got.columns
+    assert got.filter(F.col("score").isNull()).count() == 4
+    # appends must now carry the column
+    with pytest.raises(ValueError):
+        t.append(_rows(spark, 2, base=50))
+    t.append(
+        spark.createDataFrame(
+            [("u9", None, "en", 9, 0.5)], DDL + ", score double"
+        )
+    )
+    assert t.read().filter(F.col("score") == 0.5).count() == 1
+    # a reloaded handle sees the evolved schema (atomic metadata commit)
+    re = load_table(spark, str(tmp_path / "t"))
+    assert "score" in re.read().columns
+    with pytest.raises(ValueError, match="already exists"):
+        re.add_column("score", "double")
+    # time travel: before any maintenance commit there is no snapshot
+    with pytest.raises(ValueError, match="no previous snapshot"):
+        re.read_previous()
+    re.compact_latest_by_key(["url"], "n")
+    prev = re.read_previous()
+    assert prev.count() == 5  # the pre-compaction row set
+    re.vacuum()
+    with pytest.raises(ValueError, match="no previous snapshot"):
+        re.read_previous()
