@@ -307,19 +307,23 @@ class TableHandle:
                     f"schema mismatch: table declares {want}, merge source "
                     f"got {got}"
                 )
-        dup = (
-            source.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                f"merge source has multiple rows for key "
-                f"{tuple(dup[0][k] for k in keys)!r} — MERGE requires at "
-                "most one source row per target key"
+        if when_matched == "update":
+            # Iceberg's MERGE cardinality error: two source rows updating
+            # one key would be a nondeterministic pick. Delete-by-key is
+            # insensitive to source duplicates, so only update checks.
+            dup = (
+                source.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .limit(1)
+                .collect()
             )
+            if dup:
+                raise ValueError(
+                    f"merge source has multiple rows for key "
+                    f"{tuple(dup[0][k] for k in keys)!r} — MERGE requires "
+                    "at most one source row per target key"
+                )
         src_keys = source.select(*keys).distinct()
         survivors = self.read().join(src_keys, keys, "left_anti")
         merged = (
