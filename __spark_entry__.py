@@ -1869,9 +1869,17 @@ def q_stream_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     res = spark.read.parquet(out_dir)
     # every real window starts at or before the max pair timestamp; the
-    # punctuation's window starts ≥ 1 h past it — filter it from the result
+    # punctuation's window starts ≥ 1 h past it — filter it from the
+    # result. The comparison runs in pure integer µs on BOTH sides: a
+    # naive-datetime F.lit() builds its TIMESTAMP literal via the DRIVER
+    # process's timezone while the NTZ cast renders via the SESSION
+    # timezone, so the mixed comparison is wrong by the session offset
+    # whenever the two differ (round-5 NY-tz cross-check catch)
+    mx_us = (mx - datetime.datetime(1970, 1, 1)) // datetime.timedelta(
+        microseconds=1
+    )
     return res.filter(
-        F.col("window.start").cast("timestamp_ntz") <= F.lit(mx)
+        _us(F.col("window.start").cast("timestamp_ntz")) <= F.lit(mx_us)
     ).select(
         _us(F.col("window.start").cast("timestamp_ntz")).alias("ws_us"),
         "n_pairs",
@@ -2213,9 +2221,16 @@ def q_sliding_1h_15m_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     res = spark.read.parquet(out_dir)
+    # integer-µs comparison on both sides — a naive-datetime F.lit()
+    # localizes via the DRIVER tz while the NTZ cast renders via the
+    # SESSION tz (round-5 NY-tz cross-check catch; see
+    # q_stream_join_rollup)
+    mx_us = (mx - datetime.datetime(1970, 1, 1)) // datetime.timedelta(
+        microseconds=1
+    )
     return res.filter(
         (F.col("event_type") != "__punctuation__")
-        & (F.col("window.start").cast("timestamp_ntz") <= F.lit(mx))
+        & (_us(F.col("window.start").cast("timestamp_ntz")) <= F.lit(mx_us))
     ).select(
         _us(F.col("window.start").cast("timestamp_ntz")).alias("ws_us"),
         "event_type",

@@ -74,8 +74,10 @@ def streaming_asof_enrich(
     if isinstance(keys, str):
         keys = [keys]
     from ..shipping import ensure_package_shipped
+    from .timebase import session_tz, watermark_to_naive_us
 
     ensure_package_shipped(df.sparkSession)
+    tz_name = session_tz(df.sparkSession)
     if n_buckets is None:
         n_buckets = max(df.sparkSession.sparkContext.defaultParallelism * 8, 16)
     ttl_us = None if state_ttl is None else int(float(state_ttl) * 1_000_000)
@@ -117,7 +119,10 @@ def streaming_asof_enrich(
         else:
             buf, summ = None, None
 
-        wm_us = int(state.getCurrentWatermarkMs()) * 1000
+        # watermark in the delivered rows' naive basis (timebase module)
+        wm_us = watermark_to_naive_us(
+            int(state.getCurrentWatermarkMs()), tz_name
+        )
         new = [p for p in pdf_iter if len(p)]
         if new:
             np_new = pd.concat(new, ignore_index=True) if len(new) > 1 else new[0]

@@ -102,8 +102,10 @@ def streaming_sessionize(
     if isinstance(keys, str):
         keys = [keys]
     from ..shipping import ensure_package_shipped
+    from .timebase import session_tz, watermark_to_naive_us
 
     ensure_package_shipped(df.sparkSession)
+    tz_name = session_tz(df.sparkSession)
     if n_buckets is None:
         n_buckets = max(df.sparkSession.sparkContext.defaultParallelism * 8, 16)
     gap_us = int(float(gap_seconds) * 1_000_000)
@@ -141,7 +143,11 @@ def streaming_sessionize(
         else:
             buf, summ = None, None
 
-        wm_us = int(state.getCurrentWatermarkMs()) * 1000
+        # the watermark converted to the delivered rows' naive basis
+        # (identity under UTC; see streaming/timebase.py)
+        wm_us = watermark_to_naive_us(
+            int(state.getCurrentWatermarkMs()), tz_name
+        )
         new = [p for p in pdf_iter if len(p)]
         if new:
             np_new = pd.concat(new, ignore_index=True) if len(new) > 1 else new[0]

@@ -457,8 +457,10 @@ def streaming_nn_join(
     if isinstance(keys, str):
         keys = [keys]
     from ..shipping import ensure_package_shipped
+    from .timebase import session_tz, watermark_to_naive_us
 
     ensure_package_shipped(df.sparkSession)
+    tz_name = session_tz(df.sparkSession)
     if n_buckets is None:
         n_buckets = max(df.sparkSession.sparkContext.defaultParallelism * 8, 16)
     payload_cols = [c for c in df.columns if c not in [*keys, ts_col, side_col]]
@@ -495,7 +497,12 @@ def streaming_nn_join(
         else:
             buf, pend = None, None
 
-        wm_us = int(state.getCurrentWatermarkMs()) * 1000
+        # watermark in the delivered rows' naive basis: pandas receives
+        # session-LOCAL naive event times while getCurrentWatermarkMs is
+        # epoch — identical under UTC, offset otherwise (timebase module)
+        wm_us = watermark_to_naive_us(
+            int(state.getCurrentWatermarkMs()), tz_name
+        )
         new = [p for p in pdf_iter if len(p)]
         if new:
             np_new = pd.concat(new, ignore_index=True) if len(new) > 1 else new[0]

@@ -942,3 +942,44 @@ def test_streaming_asof_enrich_resume_equals_batch(spark, tmp_path):
     assert got == want, (
         f"missing={len(set(want) - set(got))} extra={len(set(got) - set(want))}"
     )
+
+
+def test_streaming_sessionize_non_utc_session_timezone(spark, tmp_path):
+    """Round-5 regression guard: applyInPandasWithState delivers
+    session-LOCAL naive event times while getCurrentWatermarkMs is true
+    epoch — under a non-UTC session timezone every custom stateful op
+    must convert the watermark into the rows' naive basis
+    (streaming/timebase.py) or it silently drops the rows arriving
+    within one UTC-offset of a watermark advance."""
+    import datetime
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        t0 = datetime.datetime(2024, 1, 20)
+        rows = [
+            (1, t0 + datetime.timedelta(seconds=s), i)
+            for i, s in enumerate([0, 100, 3000, 3100, 9000, 9100])
+        ]
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id"])
+        in_dir = str(tmp_path / "input")
+        _write_session_chunks(in_dir, pdf, n_files=3)
+        out = _run_streaming_sessionize(
+            spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ck"),
+            gap=1800.0, ttl=None,
+        )
+        got = sorted((r["event_id"], r["session_idx"]) for r in out.collect())
+        from statefulstreamprocessor_spark.operators.sessions import sessionize
+
+        batch = spark.createDataFrame(
+            pdf, "user_id bigint, ts timestamp_ntz, event_id bigint"
+        )
+        want = sorted(
+            (r["id"], r["session_idx"])
+            for r in sessionize(
+                batch, "user_id", "ts", "event_id", gap_seconds=1800.0
+            ).collect()
+        )
+        assert got == want and len(got) == 6
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
