@@ -983,3 +983,82 @@ def test_streaming_sessionize_non_utc_session_timezone(spark, tmp_path):
         assert got == want and len(got) == 6
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_streaming_asof_state_ttl_forgets_idle_predecessor(spark, tmp_path):
+    """streaming_asof_enrich state_ttl: a right row idle past the TTL is
+    evicted from the per-key summary, so a much-later left row enriches
+    to NULL instead of reaching arbitrarily far back; with ttl=None the
+    same left row still finds it (exact batch parity)."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 7, 1)
+    rows = [
+        (7, t0, 0, 0.0, "r"),                                   # predecessor
+        (7, t0 + datetime.timedelta(seconds=20000), 1, 0.1, "l"),  # late left
+        # filler key advances the watermark through the silence
+        *[
+            (8, t0 + datetime.timedelta(seconds=s + 0.5), 100 + s, 0.0, "r")
+            for s in range(0, 20001, 500)
+        ],
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "ts", "event_id", "value", "side"]
+    ).sort_values("ts", kind="mergesort")
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    step = (len(pdf) + 5) // 6
+    for i in range(6):
+        c = pdf.iloc[i * step : (i + 1) * step]
+        if len(c):
+            c.to_parquet(
+                os.path.join(in_dir, f"part-{i:03d}.parquet"),
+                index=False, coerce_timestamps="us",
+            )
+    pd.DataFrame(
+        [(-1, pdf["ts"].max() + pd.Timedelta(hours=2), -1, 0.0, "r")],
+        columns=["user_id", "ts", "event_id", "value", "side"],
+    ).to_parquet(
+        os.path.join(in_dir, "part-zz-flush.parquet"),
+        index=False, coerce_timestamps="us",
+    )
+
+    def run(out, ck, ttl):
+        from statefulstreamprocessor_spark.streaming.asof import (
+            streaming_asof_enrich,
+        )
+
+        raw = (
+            spark.readStream.schema(
+                "user_id bigint, ts timestamp_ntz, event_id bigint, "
+                "value double, side string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        stream = raw.select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"),
+            "event_id", "value", "side",
+        ).withWatermark("ts", "0 seconds")
+        q = (
+            streaming_asof_enrich(
+                stream, ["user_id"], "ts", "side",
+                left_cols=["event_id", "value"], right_cols=["event_id"],
+                n_buckets=1, state_ttl=ttl,
+            )
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / out))
+            .option("checkpointLocation", str(tmp_path / ck))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(str(tmp_path / out))
+
+    with_ttl = run("o1", "ck1", 3600.0).filter(F.col("user_id") == 7).first()
+    no_ttl = run("o2", "ck2", None).filter(F.col("user_id") == 7).first()
+    # TTL: the 20000 s silence exceeds 3600 s — predecessor forgotten
+    assert with_ttl["event_id"] == 1 and with_ttl["right_event_id"] is None
+    # no TTL: the left row still reaches back to the idle right row
+    assert no_ttl["event_id"] == 1 and no_ttl["right_event_id"] == 0
