@@ -237,3 +237,43 @@ def test_vocab_topk_rank_exchange_is_prereduced(spark):
         for m in _re.findall(r"^\((\d+)\) TakeOrderedAndProject", plan, _re.M)
     ]
     assert map_ids and top_ids and min(map_ids) < min(top_ids), plan
+
+
+def test_asof_banded_carry_plan_shape(spark, events):
+    """Tolerance-free banded as-of: the data-sized windows partition on
+    (key, __bucket) — a hot key genuinely shards — the carry runs over
+    band-LEVEL rows only, no O(n²) frames, and the carry join is an
+    equi-join (never a nested-loop range join)."""
+    from statefulstreamprocessor_spark.operators.asof import asof_join_banded
+
+    left = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    right = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    plan = _plan(
+        asof_join_banded(
+            left, right, "user_id", "ts", tolerance=None, band_seconds=3600.0
+        )
+    )
+    assert "unboundedfollowing" not in plan.lower()
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the intra-band window shards each key by band
+    assert re.search(r"hashpartitioning\(user_id[^\)]*__bucket", plan), plan
+
+
+def test_merge_into_plan_is_anti_join(spark, tmp_path):
+    """MERGE INTO's only data-sized join is a LeftAnti equi-join on the
+    merge key (broadcastable small source side), never a cartesian or
+    nested-loop shape."""
+    from statefulstreamprocessor_spark.sources.tables import create_table
+
+    t = create_table(
+        spark, str(tmp_path / "t"), "k bigint, v double", partition_by=[]
+    )
+    t.append(spark.range(1000).select(F.col("id").alias("k"), F.lit(1.0).alias("v")))
+    src = spark.range(10).select(F.col("id").alias("k"), F.lit(2.0).alias("v"))
+    src_keys = src.select("k").distinct()
+    merged = t.read().join(src_keys, ["k"], "left_anti").unionByName(src)
+    plan = _plan(merged)
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
