@@ -423,11 +423,37 @@ def run_scaling(extra: dict) -> None:
     eff = round((thr_big / thr_small) / ratio, 3)
     calib = _raw_parallel_efficiency(n_small, n_big)
     bw_calib = _bandwidth_parallel_efficiency(n_small, n_big)
+
+    def _spread(res: dict) -> float | None:
+        reps = res.get("all_reps_rows_per_sec")
+        if not reps:
+            return None
+        return round((max(reps) - min(reps)) / max(reps), 3)
+
+    # self-certification: identical code re-measured back-to-back in one
+    # JVM on a pinned cpuset cannot legitimately swing >12% (clean-window
+    # spreads measure 2-6%); a wide spread marks the WINDOW as
+    # steal-contaminated, so a degraded recorded efficiency carries its
+    # own diagnosis (BENCH.md §5 round-5 protocol note)
+    sp_small, sp_big = _spread(best[n_small]), _spread(best[n_big])
+    quality = "clean"
+    reasons = []
+    for label, sp in (("small", sp_small), ("big", sp_big)):
+        if sp is not None and sp > 0.12:
+            reasons.append(f"{label}-leg rep spread {sp}")
+    if calib < 0.9:
+        reasons.append(f"cpu calibration {calib}")
+    if bw_calib is not None and not 0.85 <= bw_calib <= 1.15:
+        reasons.append(f"bandwidth calibration {bw_calib}")
+    if reasons:
+        quality = "degraded: " + "; ".join(reasons)
     extra["scaling"] = {
         f"local[{n_small}]": best[n_small],
         f"local[{n_big}]": best[n_big],
         "speedup": round(thr_big / thr_small, 3),
         "efficiency": eff,
+        "rep_spread": {"small": sp_small, "big": sp_big},
+        "window_quality": quality,
         # efficiency divided by what pure-CPU multiprocessing achieved in
         # the same windows — isolates the engine's scaling from the shared
         # VM's steal/bandwidth ceiling (reported, never substituted)
