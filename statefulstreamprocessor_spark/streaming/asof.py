@@ -73,6 +73,13 @@ def streaming_asof_enrich(
     """
     if isinstance(keys, str):
         keys = [keys]
+    reserved = {*keys, ts_col, side_col}
+    bad = reserved & {*left_cols, *right_cols}
+    if bad:
+        raise ValueError(
+            f"left_cols/right_cols must be payload columns, not keys/"
+            f"ts/side: {sorted(bad)}"
+        )
     from ..shipping import ensure_package_shipped
     from .timebase import session_tz, watermark_to_naive_us
 
