@@ -18,6 +18,24 @@ from pyspark.sql import functions as F
 __all__ = ["asof_join", "asof_join_banded"]
 
 
+def _orderable(dtype) -> bool:
+    """True iff Spark can sort by this type (no MapType anywhere inside).
+
+    Structs and arrays are orderable; maps are not. Drives the optional
+    deterministic tie-break: when the right payload struct is orderable
+    the as-of window orders by it, otherwise the tie pick stays
+    engine-arbitrary (the pre-round-6 behavior) rather than failing."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.MapType):
+        return False
+    if isinstance(dtype, T.StructType):
+        return all(_orderable(f.dataType) for f in dtype.fields)
+    if isinstance(dtype, T.ArrayType):
+        return _orderable(dtype.elementType)
+    return True
+
+
 def _merge_sides(
     df_left: DataFrame,
     df_right: DataFrame,
@@ -85,16 +103,33 @@ def _asof_core(
     right_prefix: str,
 ) -> DataFrame:
     """Shared window core: running nearest-in-direction right candidate per
-    partition, tolerance cut, left-outer projection."""
+    partition, tolerance cut, left-outer projection.
+
+    Duplicate right timestamps on one key resolve deterministically by
+    the right payload struct — max for backward, min for forward, the
+    SAME rule as :func:`_asof_banded_carry` and the streaming
+    ``streaming_asof_enrich`` (round-6 alignment) — whenever that struct
+    is orderable; a map-typed right payload falls back to the
+    engine-arbitrary pick (documented on :func:`asof_join`)."""
+    rp_orderable = _orderable(
+        merged.schema["__rp"].dataType
+    )
     if direction == "backward":
         # asc traversal: the right row (side 0) precedes an equal-ts left
-        # row, so right.ts <= left.ts is inclusive
+        # row, so right.ts <= left.ts is inclusive; __rp asc puts the
+        # payload-MAX right row last among equal-ts rights, and the
+        # running `last` picks it
         order = [F.col("__ts").asc(), F.col("__side").asc()]
+        if rp_orderable:
+            order.append(F.col("__rp").asc())
     else:
         # desc traversal must ALSO put the right row first at equal ts —
         # side ASC (0 before 1), not desc — so right.ts >= left.ts is
-        # inclusive as documented
+        # inclusive as documented; __rp desc makes the payload-MIN right
+        # row the last-seen among equal-ts rights
         order = [F.col("__ts").desc(), F.col("__side").asc()]
+        if rp_orderable:
+            order.append(F.col("__rp").desc())
     w = (
         Window.partitionBy(*part_cols)
         .orderBy(*order)
@@ -149,6 +184,13 @@ def asof_join(
     tolerance: optional max |dt| in seconds. Left rows with no partner in
     range are kept with nulls (left-outer semantics).
     Output: all left columns + ``right_<col>`` for right non-key columns.
+
+    Duplicate right timestamps on one key: the pick is deterministic —
+    the right row with the MAX payload struct (backward) / MIN (forward),
+    struct fields compared in the right frame's column order — matching
+    the banded-carry and streaming forms (round-6 alignment). If the
+    right payload contains a map column (not orderable) the tie pick
+    falls back to engine order.
     """
     if isinstance(keys, str):
         keys = [keys]
@@ -303,9 +345,9 @@ def asof_join_banded(
     and the nearest right row outside a left row's band arrives via a
     running carry over band-level rows — an unbounded-lookback as-of
     that still shards hot keys. Right-timestamp ties resolve by the
-    right payload struct (deterministic; payload must be orderable),
-    where the tolerance path inherits ``asof_join``'s
-    arbitrary-among-ties pick.
+    right payload struct (deterministic; payload must be orderable);
+    since round 6 the tolerance path applies the same rule through
+    ``_asof_core`` (map-typed payloads fall back to engine order there).
     """
     if isinstance(keys, str):
         keys = [keys]

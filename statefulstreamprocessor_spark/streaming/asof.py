@@ -28,10 +28,20 @@ bound — an arbitrary stateful operator, built here on the
 * state round-trips as Arrow IPC typed frames; event time lives in the
   state only as integer microseconds.
 
-Within-batch ties among right rows at one timestamp resolve to the last
-row in arrival-stable sort order — the batch ``asof_join`` leaves the
-same case engine-arbitrary, so parity holds whenever right timestamps
-are unique per key (the oracle fixtures' property).
+Ties among right rows at one timestamp resolve deterministically to the
+row with the MAX right payload (columns compared in ``right_cols``
+order) — the same rule as the batch ``asof_join`` / banded-carry forms
+(round-6 alignment). The tie is always decided within one micro-batch:
+two equal-timestamp right rows are either both unsealed (both still
+buffered) or the later arrival is watermark-late and dropped, so the
+per-key summary never has to compare a carried row against an equal-ts
+newcomer.
+
+State fidelity: carried right payloads round-trip through Arrow IPC and
+merge as OBJECT columns (never float64) — a ``bigint`` payload such as
+an ``xxhash64``-derived id survives exactly; the pre-round-6 ``np.where``
+merge promoted int64 through float64 and silently corrupted values
+≥ 2⁵³.
 """
 
 from __future__ import annotations
@@ -80,6 +90,18 @@ def streaming_asof_enrich(
             f"left_cols/right_cols must be payload columns, not keys/"
             f"ts/side: {sorted(bad)}"
         )
+    # output-name collision guard (ADVICE round-5): a left payload column
+    # literally named like a prefixed right column would be silently
+    # overwritten in the emitted frame and duplicate the output schema
+    out_names = [*keys, ts_col, *left_cols,
+                 f"{right_prefix}{ts_col}",
+                 *[f"{right_prefix}{c}" for c in right_cols]]
+    dups = {n for n in out_names if out_names.count(n) > 1}
+    if dups:
+        raise ValueError(
+            f"output column name collision (left_cols vs "
+            f"{right_prefix!r}-prefixed right columns): {sorted(dups)}"
+        )
     from ..shipping import ensure_package_shipped
     from .timebase import session_tz, watermark_to_naive_us
 
@@ -114,7 +136,16 @@ def streaming_asof_enrich(
         ]
     )
     out_cols = [f.name for f in out_schema.fields]
-    s_cols = ["__s_ts", *[f"__s_{c}" for c in right_l]]
+    carry_cols = ["__s_ts", *[f"__s_{c}" for c in right_l]]
+
+    def _to_obj(series: pd.Series) -> pd.Series:
+        """Numeric/any series → object dtype with None for missing.
+
+        The carry columns live in object space end to end: pandas merge
+        and np.where never see an int64 column they could promote to
+        float64, so bigint payloads ≥ 2⁵³ survive exactly (ADVICE
+        round-5 medium)."""
+        return series.astype(object).where(pd.notna(series), None)
 
     def fn(
         key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -123,6 +154,12 @@ def streaming_asof_enrich(
             buf_b, summ_b = state.get
             buf = _de_frame(buf_b)
             summ = _de_frame(summ_b)
+            if summ is not None:
+                # Arrow round-trips object int columns back as int64
+                # (nulls → object via integer_object_nulls); re-enter
+                # object space before any merge can promote
+                for c in carry_cols:
+                    summ[c] = _to_obj(summ[c])
         else:
             buf, summ = None, None
 
@@ -158,8 +195,13 @@ def streaming_asof_enrich(
                         ),
                     }
                 )
-                for c in (*keys_l, *payload):
+                for c in keys_l:
                     add[c] = np_new[c].to_numpy()
+                for c in payload:
+                    # payload columns buffer in object space so a later
+                    # pd.concat with a differently-delivered batch (int64
+                    # vs float64-with-NaN) can never promote them
+                    add[c] = _to_obj(np_new[c])
                 buf = add if buf is None else pd.concat(
                     [buf, add], ignore_index=True
                 )
@@ -168,20 +210,35 @@ def streaming_asof_enrich(
         if buf is not None and len(buf):
             sealed_mask = buf["__ts"].to_numpy() < wm_us
             if sealed_mask.any():
+                # (ts, side, right payload) order: among equal-ts right
+                # rows the payload-MAX sorts last, so both the per-row
+                # cummax pick and the summary's keep="last" adopt the
+                # batch asof_join's deterministic tie rule.
+                # na_position="first" ranks a NULL payload field lowest —
+                # Spark's asc null ordering (left rows hold all-None
+                # right columns but sit in their own __side stratum, so
+                # their arrival order is untouched).
                 sealed = (
                     buf.loc[sealed_mask]
-                    .sort_values(["__ts", "__side"], kind="mergesort")
+                    .sort_values(
+                        ["__ts", "__side", *right_l],
+                        kind="mergesort",
+                        na_position="first",
+                    )
                     .sort_values(keys_l, kind="mergesort")
                     .reset_index(drop=True)
                 )
                 buf = buf.loc[~sealed_mask].reset_index(drop=True)
                 if summ is not None:
                     merged = sealed.merge(summ, on=keys_l, how="left")
+                    # merge fills unmatched keys with float NaN even in
+                    # object columns — normalize back to None
+                    for c in carry_cols:
+                        merged[c] = _to_obj(merged[c])
                 else:
                     merged = sealed.copy()
-                    merged["__s_ts"] = np.nan
-                    for c in right_l:
-                        merged[f"__s_{c}"] = None
+                    for c in carry_cols:
+                        merged[c] = None
                 side = merged["__side"].to_numpy()
                 n = len(merged)
                 ridx = np.where(side == 0, np.arange(n), -1)
@@ -207,20 +264,21 @@ def streaming_asof_enrich(
                 )
                 for c in left_l:
                     out[c] = merged.loc[is_left, c].to_numpy()
+                hi = has_in[is_left]
+                # the in-batch/carry pick stays in object space end to
+                # end — np.where over object arrays never promotes
                 rts = np.where(
-                    has_in[is_left],
-                    ts_all[safe][is_left].astype("float64"),
+                    hi,
+                    ts_all[safe][is_left].astype(object),
                     merged["__s_ts"].to_numpy()[is_left],
                 )
                 out[f"{right_prefix}{ts_col}"] = pd.to_datetime(
-                    pd.Series(rts), unit="us"
+                    pd.Series(rts, dtype=object), unit="us"
                 ).to_numpy()
                 for c in right_l:
                     v_in = merged[c].to_numpy()[safe][is_left]
                     v_carry = merged[f"__s_{c}"].to_numpy()[is_left]
-                    out[f"{right_prefix}{c}"] = np.where(
-                        has_in[is_left], v_in, v_carry
-                    )
+                    out[f"{right_prefix}{c}"] = np.where(hi, v_in, v_carry)
                 # roll the per-key summary forward: the batch's last right
                 # row per key supersedes the carried one (newly sealed
                 # rows are never older than previously sealed ones)
@@ -231,10 +289,10 @@ def streaming_asof_enrich(
                     )
                     upd = last_rows[keys_l].copy()
                     upd["__s_ts"] = last_rows["__ts"].to_numpy().astype(
-                        "float64"
+                        object
                     )
                     for c in right_l:
-                        upd[f"__s_{c}"] = last_rows[c].to_numpy()
+                        upd[f"__s_{c}"] = _to_obj(last_rows[c])
                     if summ is None or not len(summ):
                         summ = upd.reset_index(drop=True)
                     else:
@@ -251,15 +309,32 @@ def streaming_asof_enrich(
                         )
 
         if ttl_us is not None and wm_us > 0 and summ is not None and len(summ):
-            live = summ["__s_ts"].to_numpy() >= float(wm_us - ttl_us)
+            live = (
+                pd.to_numeric(summ["__s_ts"]).to_numpy() >= wm_us - ttl_us
+            )
             if not live.all():
                 summ = summ.loc[live].reset_index(drop=True)
 
-        state.update((_ser_frame(buf), _ser_frame(summ)))
-        if buf is not None and len(buf):
-            state.setTimeoutTimestamp(
-                max(int(state.getCurrentWatermarkMs()) + 1, 1)
-            )
+        if (buf is None or not len(buf)) and (summ is None or not len(summ)):
+            # fully drained bucket group (e.g. every key TTL-evicted):
+            # drop the state row entirely instead of parking an empty
+            # (b'', b'') pair — idle groups then carry zero state rows
+            if state.exists:
+                state.remove()
+        else:
+            state.update((_ser_frame(buf), _ser_frame(summ)))
+            wm_ms = int(state.getCurrentWatermarkMs())
+            if buf is not None and len(buf):
+                state.setTimeoutTimestamp(max(wm_ms + 1, 1))
+            elif ttl_us is not None:
+                # summaries only: re-fire at the earliest TTL-eviction
+                # instant so idle predecessors are dropped on schedule
+                # even if the bucket never sees data again (see
+                # sessionize.py for the naive→epoch offset note)
+                min_s = int(pd.to_numeric(summ["__s_ts"]).min())
+                off_us = wm_us - wm_ms * 1000 if wm_ms > 0 else 0
+                fire_ms = (min_s + ttl_us - off_us) // 1000 + 1
+                state.setTimeoutTimestamp(max(fire_ms, wm_ms + 1, 1))
         if out is not None and len(out):
             yield out[out_cols]
 

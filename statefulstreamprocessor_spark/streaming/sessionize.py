@@ -70,9 +70,20 @@ def _ser_frame(pdf: pd.DataFrame | None) -> bytes:
 
 
 def _de_frame(b: bytes | None) -> pd.DataFrame | None:
+    """Arrow IPC bytes → pandas frame (None for b'').
+
+    ``integer_object_nulls=True``: an integer column that acquired nulls
+    (e.g. a carried right payload with no predecessor) comes back as an
+    OBJECT column of python ints / None instead of float64-with-NaN —
+    bigints ≥ 2⁵³ survive the state round-trip exactly (ADVICE round-5).
+    Null-free integer columns still deserialize as int64."""
     if not b:
         return None
-    return pa.ipc.open_stream(pa.py_buffer(b)).read_all().to_pandas()
+    return (
+        pa.ipc.open_stream(pa.py_buffer(b))
+        .read_all()
+        .to_pandas(integer_object_nulls=True)
+    )
 
 
 def streaming_sessionize(
@@ -230,13 +241,33 @@ def streaming_sessionize(
             if not live.all():
                 summ = summ.loc[live].reset_index(drop=True)
 
-        state.update((_ser_frame(buf), _ser_frame(summ)))
-        if buf is not None and len(buf):
-            # unsealed rows wait on the WATERMARK, not on data — re-fire
-            # the group when it advances
-            state.setTimeoutTimestamp(
-                max(int(state.getCurrentWatermarkMs()) + 1, 1)
-            )
+        if (buf is None or not len(buf)) and (summ is None or not len(summ)):
+            # fully drained bucket group (every key TTL-evicted, nothing
+            # buffered): remove the state row instead of parking an
+            # empty (b'', b'') pair — idle groups carry zero state rows
+            if state.exists:
+                state.remove()
+        else:
+            state.update((_ser_frame(buf), _ser_frame(summ)))
+            wm_ms = int(state.getCurrentWatermarkMs())
+            if buf is not None and len(buf):
+                # unsealed rows wait on the WATERMARK, not on data —
+                # re-fire the group when it advances
+                state.setTimeoutTimestamp(max(wm_ms + 1, 1))
+            elif ttl_us is not None:
+                # summaries only: without a timeout an idle group would
+                # never re-fire and its TTL-expired summaries would
+                # outlive the TTL until new data happened to hit the
+                # bucket. Fire at the EARLIEST eviction instant. The
+                # naive→epoch conversion reuses the offset observed at
+                # the current watermark (exact under any fixed offset;
+                # off by ≤ the DST shift across a transition, which only
+                # re-fires the group early/late — eviction itself
+                # re-checks against the then-current watermark).
+                min_s = int(pd.to_numeric(summ["__last_ts"]).min())
+                off_us = wm_us - wm_ms * 1000 if wm_ms > 0 else 0
+                fire_ms = (min_s + ttl_us - off_us) // 1000 + 1
+                state.setTimeoutTimestamp(max(fire_ms, wm_ms + 1, 1))
         if out is not None and len(out):
             yield out[out_cols]
 

