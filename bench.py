@@ -366,63 +366,7 @@ def run_scaling(extra: dict) -> None:
             return None
         return json.loads(lines[-1])
 
-    best: dict[int, dict] = {}
     here = os.path.dirname(os.path.abspath(__file__))
-    if mode == "concurrent":
-        # BOTH legs run at the same time on disjoint cpusets, so they see
-        # the same machine window and the VM's minute-scale steal noise
-        # cancels out of the throughput ratio (sequential legs measured
-        # 0.68-0.85 for identical code purely from window luck). Round 5
-        # (VERDICT round-4 #3): BOTH legs run the SAME rep count
-        # back-to-back inside one JVM and report their MEDIAN rep, so the
-        # recorded efficiency is median/median — a fully symmetric
-        # statistic (round 4 repped only the big leg, letting small-leg
-        # noise pass straight into the ratio, which once read 1.005).
-        # All reps stay in the JSON.
-        reps = int(
-            os.environ.get(
-                "SPARK_GRAFT_SCALE_REPS",
-                os.environ.get("SPARK_GRAFT_SCALE_BIG_REPS", "3"),
-            )
-        )
-        p_small = subprocess.Popen(
-            _cmd(n_small, reps), stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE, text=True, cwd=here,
-        )
-        p_big = subprocess.Popen(
-            _cmd(n_big, reps), stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE, text=True, cwd=here,
-        )
-        out_s, err_s = p_small.communicate(timeout=2400)
-        out_b, err_b = p_big.communicate(timeout=2400)
-        res_s, res_b = _parse(out_s, err_s), _parse(out_b, err_b)
-        if res_s is None or res_b is None:
-            return
-        best[n_small], best[n_big] = res_s, res_b
-    else:
-        # sequential fallback: interleave levels, best of `repeats` each
-        repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
-        for _ in range(repeats):
-            for cores in (n_small, n_big):
-                proc = subprocess.run(
-                    _cmd(cores, 1), capture_output=True, text=True,
-                    timeout=1200, cwd=here,
-                )
-                res = _parse(proc.stdout, proc.stderr)
-                if res is None:
-                    return
-                if (
-                    cores not in best
-                    or res["joined_rows_per_sec"]
-                    > best[cores]["joined_rows_per_sec"]
-                ):
-                    best[cores] = res
-    thr_small = best[n_small]["joined_rows_per_sec"]
-    thr_big = best[n_big]["joined_rows_per_sec"]
-    ratio = n_big / n_small
-    eff = round((thr_big / thr_small) / ratio, 3)
-    calib = _raw_parallel_efficiency(n_small, n_big)
-    bw_calib = _bandwidth_parallel_efficiency(n_small, n_big)
 
     def _spread(res: dict) -> float | None:
         reps = res.get("all_reps_rows_per_sec")
@@ -430,51 +374,157 @@ def run_scaling(extra: dict) -> None:
             return None
         return round((max(reps) - min(reps)) / max(reps), 3)
 
-    # self-certification: identical code re-measured back-to-back in one
-    # JVM on a pinned cpuset cannot legitimately swing >12% (clean-window
-    # spreads measure 2-6%); a wide spread marks the WINDOW as
-    # steal-contaminated, so a degraded recorded efficiency carries its
-    # own diagnosis (BENCH.md §5 round-5 protocol note)
-    sp_small, sp_big = _spread(best[n_small]), _spread(best[n_big])
-    quality = "clean"
-    reasons = []
-    for label, sp in (("small", sp_small), ("big", sp_big)):
-        if sp is not None and sp > 0.12:
-            reasons.append(f"{label}-leg rep spread {sp}")
-    if calib < 0.9:
-        reasons.append(f"cpu calibration {calib}")
-    if bw_calib is not None and not 0.85 <= bw_calib <= 1.15:
-        reasons.append(f"bandwidth calibration {bw_calib}")
-    if reasons:
-        quality = "degraded: " + "; ".join(reasons)
-    extra["scaling"] = {
-        f"local[{n_small}]": best[n_small],
-        f"local[{n_big}]": best[n_big],
-        "speedup": round(thr_big / thr_small, 3),
-        "efficiency": eff,
-        "rep_spread": {"small": sp_small, "big": sp_big},
-        "window_quality": quality,
-        # efficiency divided by what pure-CPU multiprocessing achieved in
-        # the same windows — isolates the engine's scaling from the shared
-        # VM's steal/bandwidth ceiling (reported, never substituted)
-        "efficiency_vs_machine_ceiling": round(min(eff / calib, 1.0), 3)
-        if calib > 0 else None,
-        "machine_raw_parallel_efficiency": calib,
-        # bandwidth-bound calibration (streaming numpy sums): the host
-        # signature that the pure-CPU burn misses — a degraded shared
-        # memory bus reads ~1.0 on CPU but well below 1.0 here, marking
-        # the window itself as degraded (reported, never substituted)
-        "machine_bandwidth_parallel_efficiency": bw_calib,
-        "input_rows": BENCH_ROWS,
-        "method": (
-            "concurrent disjoint-cpuset legs (taskset), same input, "
-            "same wall window; SAME rep count on both legs, efficiency "
-            "= median/median (fully symmetric statistic)"
-            if mode == "concurrent"
-            else "interleaved sequential best-of per level, same input%s"
-            % (", disjoint cpusets (taskset)" if pin else "")
-        ),
-    }
+    def _measure_once() -> dict[int, dict] | None:
+        """One draw: both legs measured in the same wall window."""
+        best: dict[int, dict] = {}
+        if mode == "concurrent":
+            # BOTH legs run at the same time on disjoint cpusets, so they
+            # see the same machine window and the VM's minute-scale steal
+            # noise cancels out of the throughput ratio (sequential legs
+            # measured 0.68-0.85 for identical code purely from window
+            # luck). Round 5 (VERDICT round-4 #3): BOTH legs run the SAME
+            # rep count back-to-back inside one JVM and report their
+            # MEDIAN rep, so the recorded efficiency is median/median — a
+            # fully symmetric statistic (round 4 repped only the big leg,
+            # letting small-leg noise pass straight into the ratio, which
+            # once read 1.005). All reps stay in the JSON.
+            reps = int(
+                os.environ.get(
+                    "SPARK_GRAFT_SCALE_REPS",
+                    os.environ.get("SPARK_GRAFT_SCALE_BIG_REPS", "3"),
+                )
+            )
+            p_small = subprocess.Popen(
+                _cmd(n_small, reps), stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True, cwd=here,
+            )
+            p_big = subprocess.Popen(
+                _cmd(n_big, reps), stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True, cwd=here,
+            )
+            out_s, err_s = p_small.communicate(timeout=2400)
+            out_b, err_b = p_big.communicate(timeout=2400)
+            res_s, res_b = _parse(out_s, err_s), _parse(out_b, err_b)
+            if res_s is None or res_b is None:
+                return None
+            best[n_small], best[n_big] = res_s, res_b
+        else:
+            # sequential fallback: interleave levels, best of `repeats`
+            repeats = int(
+                os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2")
+            )
+            for _ in range(repeats):
+                for cores in (n_small, n_big):
+                    proc = subprocess.run(
+                        _cmd(cores, 1), capture_output=True, text=True,
+                        timeout=1200, cwd=here,
+                    )
+                    res = _parse(proc.stdout, proc.stderr)
+                    if res is None:
+                        return None
+                    if (
+                        cores not in best
+                        or res["joined_rows_per_sec"]
+                        > best[cores]["joined_rows_per_sec"]
+                    ):
+                        best[cores] = res
+        return best
+
+    def _certify(best: dict[int, dict]) -> dict:
+        """Efficiency + the window's own self-certification. The
+        calibrations run right after the legs inside the same draw, so
+        each draw diagnoses the machine window IT ran in."""
+        thr_small = best[n_small]["joined_rows_per_sec"]
+        thr_big = best[n_big]["joined_rows_per_sec"]
+        ratio = n_big / n_small
+        eff = round((thr_big / thr_small) / ratio, 3)
+        calib = _raw_parallel_efficiency(n_small, n_big)
+        bw_calib = _bandwidth_parallel_efficiency(n_small, n_big)
+        # self-certification: identical code re-measured back-to-back in
+        # one JVM on a pinned cpuset cannot legitimately swing >12%
+        # (clean-window spreads measure 2-6%); a wide spread marks the
+        # WINDOW as steal-contaminated, so a degraded recorded efficiency
+        # carries its own diagnosis (BENCH.md §5 round-5 protocol note)
+        sp_small, sp_big = _spread(best[n_small]), _spread(best[n_big])
+        quality = "clean"
+        reasons = []
+        for label, sp in (("small", sp_small), ("big", sp_big)):
+            if sp is not None and sp > 0.12:
+                reasons.append(f"{label}-leg rep spread {sp}")
+        if calib < 0.9:
+            reasons.append(f"cpu calibration {calib}")
+        if bw_calib is not None and not 0.85 <= bw_calib <= 1.15:
+            reasons.append(f"bandwidth calibration {bw_calib}")
+        if reasons:
+            quality = "degraded: " + "; ".join(reasons)
+        return {
+            f"local[{n_small}]": best[n_small],
+            f"local[{n_big}]": best[n_big],
+            "speedup": round(thr_big / thr_small, 3),
+            "efficiency": eff,
+            "rep_spread": {"small": sp_small, "big": sp_big},
+            "window_quality": quality,
+            # efficiency divided by what pure-CPU multiprocessing
+            # achieved in the same windows — isolates the engine's
+            # scaling from the shared VM's steal/bandwidth ceiling
+            # (reported, never substituted)
+            "efficiency_vs_machine_ceiling": round(min(eff / calib, 1.0), 3)
+            if calib > 0 else None,
+            "machine_raw_parallel_efficiency": calib,
+            # bandwidth-bound calibration (streaming numpy sums): the
+            # host signature that the pure-CPU burn misses — a degraded
+            # shared memory bus reads ~1.0 on CPU but well below 1.0
+            # here, marking the window itself as degraded (reported,
+            # never substituted)
+            "machine_bandwidth_parallel_efficiency": bw_calib,
+            "input_rows": BENCH_ROWS,
+            "method": (
+                "concurrent disjoint-cpuset legs (taskset), same input, "
+                "same wall window; SAME rep count on both legs, "
+                "efficiency = median/median (fully symmetric statistic)"
+                if mode == "concurrent"
+                else "interleaved sequential best-of per level, same "
+                "input%s" % (", disjoint cpusets (taskset)" if pin else "")
+            ),
+        }
+
+    # Round 6 (VERDICT r05 next-round #3): the VM's hour-scale steal
+    # stretches left the single-draw scaling record self-certified
+    # degraded two rounds running even though clean windows measure ≥0.8.
+    # The scaling section now REDRAWS until a draw certifies clean,
+    # bounded by SPARK_GRAFT_SCALE_DRAWS (default 3) — the verdict's
+    # sanctioned "record the best draw of N with all N in the JSON".
+    # Every draw's summary stays in `all_draws`; the recorded entry is
+    # the first clean draw, else the best-efficiency draw with its own
+    # degraded diagnosis intact.
+    n_draws = max(int(os.environ.get("SPARK_GRAFT_SCALE_DRAWS", "3")), 1)
+    pause = float(os.environ.get("SPARK_GRAFT_SCALE_DRAW_PAUSE", "20"))
+    draws: list[dict] = []
+    for i in range(n_draws):
+        if i and pause > 0:
+            time.sleep(pause)
+        best = _measure_once()
+        if best is None:
+            if not draws:
+                return
+            break
+        draws.append(_certify(best))
+        if draws[-1]["window_quality"] == "clean":
+            break
+    clean = [d for d in draws if d["window_quality"] == "clean"]
+    chosen = dict(max(clean or draws, key=lambda d: d["efficiency"]))
+    chosen["draws_taken"] = len(draws)
+    chosen["all_draws"] = [
+        {
+            "efficiency": d["efficiency"],
+            "window_quality": d["window_quality"],
+            "rep_spread": d["rep_spread"],
+            "thr_small": d[f"local[{n_small}]"]["joined_rows_per_sec"],
+            "thr_big": d[f"local[{n_big}]"]["joined_rows_per_sec"],
+        }
+        for d in draws
+    ]
+    extra["scaling"] = chosen
     # secondary evidence: the pure-JVM batch closure join on the same input.
     # Off by default to keep the per-round bench under ~5.5 min (the 1-core
     # streaming leg is long); numbers recorded in BENCH.md §5
@@ -498,7 +548,7 @@ def run_scaling(extra: dict) -> None:
             f"local[{n_small}]": batch_best[n_small],
             f"local[{n_big}]": batch_best[n_big],
             "speedup": round(bb / bs, 3),
-            "efficiency": round((bb / bs) / ratio, 3),
+            "efficiency": round((bb / bs) / (n_big / n_small), 3),
         }
 
 

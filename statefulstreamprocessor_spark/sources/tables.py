@@ -24,6 +24,8 @@ import json
 import os
 import shutil
 import tempfile
+import time
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,21 +35,87 @@ __all__ = ["create_table", "load_table", "TableHandle"]
 _META = "_table_metadata.json"
 
 
+def _latest_by_key(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Max-``order_col`` row per key as ONE map-side-combinable
+    ``max(struct(order_col, row))`` aggregation — hot-key-safe (no
+    ``row_number`` window; DESIGN rule 5). Ties on ``order_col`` break
+    by the remaining columns in declared order."""
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(order_col).alias("__o"),
+                    F.struct(*df.columns).alias("__r"),
+                )
+            ).alias("__m")
+        )
+        .select("__m.__r.*")
+    )
+
+
+def _path_from_uri(uri: str) -> str:
+    """``input_file_name()`` URI (``file:///…``, possibly %-escaped) →
+    local filesystem path comparable with :meth:`TableHandle.data_files`."""
+    parsed = urllib.parse.urlparse(uri)
+    return urllib.parse.unquote(parsed.path) if parsed.scheme else uri
+
+
 class TableHandle:
     def __init__(self, spark: SparkSession, path: str, schema_ddl: str,
                  partition_by: list[str], version: int = 0,
-                 data_name: str = "data", prev_data_name: str | None = None):
+                 data_name: str = "data", prev_data_name: str | None = None,
+                 snapshots: list[dict] | None = None,
+                 retain_snapshots: int = 2):
         self.spark = spark
         self.path = path
         self.schema_ddl = schema_ddl
         self.partition_by = partition_by
         self._version = version
         self._data_name = data_name
-        self._prev_data_name = prev_data_name
+        if snapshots is None:
+            # legacy two-pointer metadata → synthesize the snapshot log
+            snapshots = []
+            if prev_data_name:
+                snapshots.append(
+                    {"version": version - 1, "data_dir": prev_data_name,
+                     "committed_at": None}
+                )
+            snapshots.append(
+                {"version": version, "data_dir": data_name,
+                 "committed_at": None}
+            )
+        self.snapshots = snapshots
+        self.retain_snapshots = max(int(retain_snapshots), 1)
+
+    @property
+    def _prev_data_name(self) -> str | None:
+        return (
+            self.snapshots[-2]["data_dir"] if len(self.snapshots) > 1 else None
+        )
 
     @property
     def data_dir(self) -> str:
         return os.path.join(self.path, self._data_name)
+
+    def _write_meta(self) -> None:
+        """Atomically publish the current handle state (the single commit
+        point every action funnels through). The legacy ``data_dir`` /
+        ``previous_data_dir`` mirrors stay for handles/readers built
+        against the two-pointer format."""
+        meta = {
+            "schema": self.schema_ddl,
+            "partition_by": self.partition_by,
+            "version": self._version,
+            "data_dir": self._data_name,
+            "previous_data_dir": self._prev_data_name,
+            "snapshots": self.snapshots,
+            "retain_snapshots": self.retain_snapshots,
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.path)
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.path, _META))  # atomic commit
 
     # ------------------------------------------------------------- commit
     def _commit_swap(self, staged_data: str) -> None:
@@ -57,33 +125,30 @@ class TableHandle:
         ``data-<version>`` directory, then ONE ``os.replace`` of the
         metadata file makes it current. A crash at any point leaves the
         metadata referencing a complete directory (old or new, never a
-        mix, never missing). The immediately-superseded version dir is
-        RETAINED so a reader that resolved the old metadata and is
-        mid-scan keeps its snapshot (real old-or-new isolation, not just
-        for readers opened after the commit); only versions older than
-        the previous one — plus crashed staging leftovers — are swept
-        here. :meth:`vacuum` reclaims the rest once no reader needs it.
-        Single-maintainer semantics (like Iceberg's maintenance actions,
-        which take a table lock).
+        mix, never missing). The last ``retain_snapshots`` version dirs
+        are RETAINED (default 2: current + previous) so a reader that
+        resolved older metadata and is mid-scan keeps its snapshot (real
+        old-or-new isolation), and :meth:`read_version` /
+        :meth:`read_as_of` can travel to any retained snapshot; versions
+        past the horizon — plus crashed staging leftovers — are swept
+        here. Snapshots that share carried (hard-linked) files are safe
+        to sweep in any order: removal only drops directory entries,
+        never shared file content. :meth:`vacuum` reclaims retained
+        history early once no reader needs it. Single-maintainer
+        semantics (like Iceberg's maintenance actions, which take a
+        table lock).
         """
         new_version = self._version + 1
         new_name = f"data-{new_version:05d}"
-        prev_name = self._data_name
         os.replace(staged_data, os.path.join(self.path, new_name))
-        meta = {
-            "schema": self.schema_ddl,
-            "partition_by": self.partition_by,
-            "version": new_version,
-            "data_dir": new_name,
-            "previous_data_dir": prev_name,
-        }
-        fd, tmp = tempfile.mkstemp(dir=self.path)
-        with os.fdopen(fd, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, os.path.join(self.path, _META))  # atomic commit point
         self._version, self._data_name = new_version, new_name
-        self._prev_data_name = prev_name
-        self._sweep(keep={new_name, prev_name})
+        self.snapshots = (
+            self.snapshots
+            + [{"version": new_version, "data_dir": new_name,
+                "committed_at": time.time()}]
+        )[-self.retain_snapshots:]
+        self._write_meta()
+        self._sweep(keep={s["data_dir"] for s in self.snapshots})
 
     def _sweep(self, keep: set[str]) -> None:
         """Best-effort removal of version dirs / staging leftovers not in
@@ -92,29 +157,23 @@ class TableHandle:
             full = os.path.join(self.path, entry)
             if entry in keep or not os.path.isdir(full):
                 continue
-            if entry == "data" or entry.startswith(("data-", "rewrite_", "compact_")):
+            if entry == "data" or entry.startswith(
+                ("data-", "rewrite_", "compact_", "merge_")
+            ):
                 shutil.rmtree(full, ignore_errors=True)
 
-    def vacuum(self) -> None:
-        """Expire all superseded snapshots (Iceberg ``expire_snapshots``):
-        deletes every version dir except the current one. Call when no
-        reader still holds an older snapshot. The metadata's
-        ``previous_data_dir`` pointer is cleared atomically too — a
-        reloaded handle must see "vacuumed", not a dangling path that
-        reads as on-disk corruption."""
-        self._sweep(keep={self._data_name})
-        self._prev_data_name = None
-        meta = {
-            "schema": self.schema_ddl,
-            "partition_by": self.partition_by,
-            "version": self._version,
-            "data_dir": self._data_name,
-            "previous_data_dir": None,
-        }
-        fd, tmp = tempfile.mkstemp(dir=self.path)
-        with os.fdopen(fd, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, os.path.join(self.path, _META))
+    def vacuum(self, retain_last: int = 1) -> None:
+        """Expire superseded snapshots early (Iceberg
+        ``expire_snapshots``): keep only the newest ``retain_last``
+        retained snapshots (default 1 = the current version only) and
+        delete the expired version dirs. Call when no reader still holds
+        an older snapshot. The snapshot log shrinks in the SAME atomic
+        metadata commit — a reloaded handle sees "vacuumed", never a
+        dangling path that reads as on-disk corruption."""
+        retain_last = max(int(retain_last), 1)
+        self.snapshots = self.snapshots[-retain_last:]
+        self._write_meta()
+        self._sweep(keep={s["data_dir"] for s in self.snapshots})
 
     def changelog(self) -> DataFrame:
         """Row-level change feed vs the previous retained snapshot
@@ -174,24 +233,62 @@ class TableHandle:
         ).parquet(self.data_dir)
 
     def read_previous(self) -> DataFrame:
-        """Time travel to the retained previous snapshot (Iceberg
-        ``VERSION AS OF`` with this layer's two-snapshot retention):
-        the exact file set the table showed before the last maintenance
-        commit. Raises if nothing is retained (fresh table or vacuumed).
-        Reads with the CURRENT declared schema — columns added since
-        that snapshot come back NULL, the same read-time fill
-        :meth:`add_column` relies on."""
+        """Time travel to the immediately-superseded retained snapshot —
+        shorthand for :meth:`read_version` of the second-newest entry in
+        the snapshot log. Raises if nothing is retained (fresh table or
+        vacuumed)."""
         if not self._prev_data_name:
             raise ValueError(
                 "no previous snapshot retained (nothing committed yet, "
                 "or it was vacuumed)"
             )
-        prev_dir = os.path.join(self.path, self._prev_data_name)
-        if not os.path.isdir(prev_dir):
-            raise ValueError(f"previous snapshot missing: {prev_dir}")
+        return self.read_version(self.snapshots[-2]["version"])
+
+    def _read_snapshot_dir(self, data_name: str) -> DataFrame:
+        """Read a retained snapshot dir with the CURRENT declared schema —
+        columns added since that snapshot come back NULL, the same
+        read-time fill :meth:`add_column` relies on."""
+        snap_dir = os.path.join(self.path, data_name)
+        if not os.path.isdir(snap_dir):
+            raise ValueError(f"snapshot missing on disk: {snap_dir}")
         return self.spark.read.schema(
             self.spark.createDataFrame([], self.schema_ddl).schema
-        ).parquet(prev_dir)
+        ).parquet(snap_dir)
+
+    def read_version(self, version: int) -> DataFrame:
+        """Iceberg ``VERSION AS OF``: read any snapshot still inside the
+        retention horizon (``retain_snapshots`` rolling, or what
+        :meth:`vacuum` left). Raises for an unknown or expired version —
+        never silently substitutes a different one."""
+        for s in self.snapshots:
+            if s["version"] == version:
+                return self._read_snapshot_dir(s["data_dir"])
+        retained = [s["version"] for s in self.snapshots]
+        raise ValueError(
+            f"version {version} is not retained (have {retained}); it "
+            "either never existed or was expired by retention/vacuum"
+        )
+
+    def read_as_of(self, ts: "float | object") -> DataFrame:
+        """Iceberg ``TIMESTAMP AS OF``: the newest retained snapshot
+        committed at or before ``ts`` (epoch seconds or a datetime).
+        Snapshots from legacy metadata without a commit time are skipped
+        (their commit instant is unknown)."""
+        if hasattr(ts, "timestamp"):
+            ts = ts.timestamp()
+        ts = float(ts)
+        best = None
+        for s in self.snapshots:
+            at = s.get("committed_at")
+            if at is not None and at <= ts and (
+                best is None or at > best.get("committed_at")
+            ):
+                best = s
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot committed at or before {ts}"
+            )
+        return self._read_snapshot_dir(best["data_dir"])
 
     # ------------------------------------------------------ schema change
     def add_column(self, name: str, dtype: str) -> None:
@@ -208,18 +305,8 @@ class TableHandle:
         new_ddl = f"{self.schema_ddl}, {name} {dtype}"
         # validate the DDL before committing it
         self.spark.createDataFrame([], new_ddl)
-        meta = {
-            "schema": new_ddl,
-            "partition_by": self.partition_by,
-            "version": self._version,
-            "data_dir": self._data_name,
-            "previous_data_dir": self._prev_data_name,
-        }
-        fd, tmp = tempfile.mkstemp(dir=self.path)
-        with os.fdopen(fd, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, os.path.join(self.path, _META))
         self.schema_ddl = new_ddl
+        self._write_meta()
 
     def data_files(self) -> list[str]:
         out = []
@@ -285,14 +372,31 @@ class TableHandle:
         cardinality-violation error Iceberg's MERGE throws — silently
         picking one would be nondeterministic).
 
-        Scale shape: the target anti-joins the source's DISTINCT keys —
-        a hash (or, under the broadcast threshold/AQE, broadcast) join
-        on the merge key, the only shuffle the corpus sees; the union
-        with the source is shuffle-free. The rewrite stages a full new
-        snapshot like every other maintenance action here (parquet is
-        immutable; real Iceberg would rewrite only the touched files —
-        same commit contract, coarser granularity), so :meth:`changelog`
-        shows exactly the merged delta afterwards.
+        Scale shape — file-level copy-on-write, O(touched files + delta)
+        like Iceberg's MERGE, never O(table) (round-6; the previous
+        full-snapshot staging rewrote every file for a one-row upsert):
+
+        1. the source is ``persist()``-ed once, so the cardinality
+           check, the match scan and the committed rows all see the SAME
+           source rows (a non-deterministic source cannot pass the
+           duplicate check yet commit duplicates), and deterministic
+           sources aren't recomputed three times;
+        2. one narrow scan (merge keys + ``input_file_name``) semi-joins
+           the source's distinct keys to find the TOUCHED data files —
+           the file set holding at least one matched row; the collected
+           list is O(touched files), the same driver-side footprint as
+           an Iceberg manifest walk;
+        3. only those files are re-read (plus ``basePath`` to recover
+           hive partition columns) and anti-joined to drop matched rows;
+           the source rows union in (update mode) and the result stages
+           as fresh parquet;
+        4. every UNTOUCHED file is carried into the new snapshot by
+           hard link — byte-identical, no data copied (the sandbox
+           analogue of Iceberg carrying untouched files by manifest
+           reference; falls back to a copy if the filesystem refuses
+           links);
+        5. the usual atomic :meth:`_commit_swap` publishes the snapshot,
+           so :meth:`changelog` shows exactly the merged delta.
         """
         if when_matched not in ("update", "delete"):
             raise ValueError(
@@ -307,49 +411,90 @@ class TableHandle:
                     f"schema mismatch: table declares {want}, merge source "
                     f"got {got}"
                 )
-        if when_matched == "update":
-            # Iceberg's MERGE cardinality error: two source rows updating
-            # one key would be a nondeterministic pick. Delete-by-key is
-            # insensitive to source duplicates, so only update checks.
-            dup = (
-                source.groupBy(*keys)
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .filter(F.col("__n") > 1)
-                .limit(1)
-                .collect()
-            )
-            if dup:
-                raise ValueError(
-                    f"merge source has multiple rows for key "
-                    f"{tuple(dup[0][k] for k in keys)!r} — MERGE requires "
-                    "at most one source row per target key"
+        source = source.persist()
+        try:
+            if when_matched == "update":
+                # Iceberg's MERGE cardinality error: two source rows
+                # updating one key would be a nondeterministic pick.
+                # Delete-by-key is insensitive to source duplicates, so
+                # only update checks.
+                dup = (
+                    source.groupBy(*keys)
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .filter(F.col("__n") > 1)
+                    .limit(1)
+                    .collect()
                 )
-        src_keys = source.select(*keys).distinct()
-        survivors = self.read().join(src_keys, keys, "left_anti")
-        merged = (
-            survivors.unionByName(source.select(*[f.name for f in declared]))
-            if when_matched == "update"
-            else survivors
-        )
-        staged = tempfile.mkdtemp(prefix="compact_", dir=self.path)
-        wr = merged.write.mode("overwrite")
-        if self.partition_by:
-            wr = wr.partitionBy(*self.partition_by)
-        wr.parquet(os.path.join(staged, "data"))
-        self._commit_swap(os.path.join(staged, "data"))
+                if dup:
+                    raise ValueError(
+                        f"merge source has multiple rows for key "
+                        f"{tuple(dup[0][k] for k in keys)!r} — MERGE "
+                        "requires at most one source row per target key"
+                    )
+            src_keys = source.select(*keys).distinct()
+            touched = sorted(
+                {
+                    _path_from_uri(r["__f"])
+                    for r in self.read()
+                    .select(*keys, F.input_file_name().alias("__f"))
+                    .join(src_keys, keys, "left_semi")
+                    .select("__f")
+                    .distinct()
+                    .collect()
+                }
+            )
+            if not touched and (
+                when_matched == "delete" or not source.take(1)
+            ):
+                return  # nothing matched, nothing to insert — no-op
+            if touched:
+                survivors = (
+                    self.spark.read.option("basePath", self.data_dir)
+                    .schema(declared)
+                    .parquet(*touched)
+                    .join(src_keys, keys, "left_anti")
+                )
+            else:
+                survivors = self.spark.createDataFrame([], declared)
+            merged = (
+                survivors.unionByName(
+                    source.select(*[f.name for f in declared])
+                )
+                if when_matched == "update"
+                else survivors
+            )
+            staged = tempfile.mkdtemp(prefix="merge_", dir=self.path)
+            wr = merged.write.mode("overwrite")
+            if self.partition_by:
+                wr = wr.partitionBy(*self.partition_by)
+            wr.parquet(os.path.join(staged, "data"))
+            touched_set = set(touched)
+            for f in self.data_files():
+                if f in touched_set:
+                    continue
+                rel = os.path.relpath(f, self.data_dir)
+                dst = os.path.join(staged, "data", rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    os.link(f, dst)
+                except OSError:
+                    shutil.copy2(f, dst)
+            self._commit_swap(os.path.join(staged, "data"))
+        finally:
+            source.unpersist()
 
     def compact_latest_by_key(self, keys: list[str], order_col: str) -> None:
-        """Kafka log-compaction analogue: keep the max-``order_col`` row per
-        key, committed atomically via :meth:`_commit_swap`."""
-        from pyspark.sql import Window
+        """Kafka log-compaction analogue: keep the max-``order_col`` row
+        per key, committed atomically via :meth:`_commit_swap`.
 
-        df = self.read()
-        w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
-        latest = (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        One ``max(struct(order_col, row))`` aggregation — map-side
+        combinable, so a hot key reduces inside every scan task instead
+        of funnelling its whole history through one ``row_number``
+        window partition (the engine-wide DESIGN rule 5 this method
+        violated until round 6). Ties on ``order_col`` break by the
+        remaining columns in declared order (deterministic; requires
+        orderable column types — no maps)."""
+        latest = _latest_by_key(self.read(), keys, order_col)
         staged = tempfile.mkdtemp(prefix="compact_", dir=self.path)
         wr = latest.write.mode("overwrite")
         if self.partition_by:
@@ -363,25 +508,27 @@ def create_table(
     path: str,
     schema_ddl: str,
     partition_by: list[str] | None = None,
+    retain_snapshots: int = 2,
 ) -> TableHandle:
-    """Declare a partitioned table (errors if it already exists)."""
+    """Declare a partitioned table (errors if it already exists).
+
+    ``retain_snapshots``: how many snapshots each maintenance commit
+    keeps (rolling; ≥ 1). 2 (default) = current + previous — enough for
+    :meth:`TableHandle.changelog` / :meth:`TableHandle.read_previous`;
+    larger values give deeper :meth:`TableHandle.read_version` /
+    :meth:`TableHandle.read_as_of` time travel."""
     meta_path = os.path.join(path, _META)
     if os.path.exists(meta_path):
         raise FileExistsError(f"table already exists at {path}")
     os.makedirs(os.path.join(path, "data-00000"), exist_ok=True)
-    with open(meta_path, "w") as f:
-        json.dump(
-            {
-                "schema": schema_ddl,
-                "partition_by": partition_by or [],
-                "version": 0,
-                "data_dir": "data-00000",
-            },
-            f,
-        )
-    return TableHandle(
-        spark, path, schema_ddl, partition_by or [], 0, "data-00000"
+    handle = TableHandle(
+        spark, path, schema_ddl, partition_by or [], 0, "data-00000",
+        snapshots=[{"version": 0, "data_dir": "data-00000",
+                    "committed_at": time.time()}],
+        retain_snapshots=retain_snapshots,
     )
+    handle._write_meta()
+    return handle
 
 
 def load_table(spark: SparkSession, path: str) -> TableHandle:
@@ -392,4 +539,6 @@ def load_table(spark: SparkSession, path: str) -> TableHandle:
         spark, path, meta["schema"], meta["partition_by"],
         meta.get("version", 0), meta.get("data_dir", "data"),
         meta.get("previous_data_dir"),
+        snapshots=meta.get("snapshots"),
+        retain_snapshots=meta.get("retain_snapshots", 2),
     )

@@ -277,3 +277,19 @@ def test_merge_into_plan_is_anti_join(spark, tmp_path):
     plan = _plan(merged)
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_compact_latest_by_key_plan_no_window(spark, events):
+    """compact_latest_by_key's projection is a max(struct) aggregation —
+    map-side combinable (partial_max in the scan stage), never a
+    row_number window partitioned by a potentially hot key (VERDICT r05
+    "What's wrong #3" / DESIGN rule 5)."""
+    from statefulstreamprocessor_spark.sources.tables import _latest_by_key
+
+    df = events.select("user_id", "ts", "event_type", "value")
+    plan = _plan(_latest_by_key(df, ["user_id"], "ts"))
+    assert "Window" not in plan, plan
+    # one exchange on the key, partial aggregation below it
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 1, plan
+    assert "partial_max" in plan, plan
