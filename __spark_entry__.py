@@ -1417,6 +1417,108 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-data shuffle + balanced sharding
+    (round 6): every document gets its exact rank under the md5-seeded
+    pseudorandom permutation WITHOUT a global sort — hash-prefix range
+    buckets are uniform by construction, so the rank is a 65,536-row
+    bucket prefix sum plus an in-bucket row_number (operators/shuffle.py;
+    same two-level scan as pack_sequences). Shard sizes are balanced to
+    ±1 row by pure arithmetic on the rank. The oracle replays the
+    permutation with a literal ORDER BY (md5, id) row_number — the
+    operator must equal the naive global sort bit-for-bit."""
+    from statefulstreamprocessor_spark.operators.shuffle import (
+        shuffle_shards,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = shuffle_shards(docs, "doc_id", n_shards=8, seed="r6shuffle")
+    return out.select("doc_id", "n_chars", "shard", "pos")
+
+
+def q_streaming_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MinHash-LSH near-dup sweep (round 6), pinned to the SAME
+    all-pairs exact-Jaccard DuckDB oracle as the batch q_minhash_lsh: the
+    corpus streams in id-ordered chunks, a stateful op keyed by
+    (band, bucket) emits each candidate pair as its second member arrives
+    (streaming/neardup.py — bucket expression shared with the batch op by
+    construction), and the gate read-side distinct + exact rescore must
+    reproduce the batch sweep's pair set exactly — including the
+    smallest-ids bucket truncation, which under id-ordered arrival is the
+    same set as "first arrivals"."""
+    import os
+    import tempfile
+
+    from statefulstreamprocessor_spark.shipping import ensure_package_shipped
+    from statefulstreamprocessor_spark.sources.staging import (
+        write_time_ordered_chunks,
+    )
+    from statefulstreamprocessor_spark.streaming.neardup import (
+        streaming_minhash_pairs,
+    )
+
+    ensure_package_shipped(spark)
+    docs = _load(spark, sf_dir, "documents").filter(
+        F.length("text") >= 5
+    ).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="ssp_strmh_gate_")
+    in_dir = os.path.join(tmp, "input")
+    write_time_ordered_chunks(docs, in_dir, n_files=3, ts_col="doc_id")
+    raw = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    pairs = streaming_minhash_pairs(raw, "text", "doc_id")
+    out_dir = os.path.join(tmp, "out")
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cands = spark.read.parquet(out_dir).distinct()
+    grams = docs.select(
+        F.col("doc_id"), _char_gram_set(F.col("text")).alias("g")
+    )
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    n_inter = F.size(F.array_intersect("ga", "gb"))
+    jac = n_inter / (F.size("ga") + F.size("gb") - n_inter)
+    return (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+def q_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source-mixture materialization (round 6): each source's
+    weight w yields floor(w) full epochs of its docs plus a consistent-
+    hash-selected fractional epoch (operators/mixture.py — zero
+    exchanges, pure codegen map+explode+filter). Weights cycle through
+    0, integer and fractional values across the 20 sources, so the gate
+    exercises drop-by-zero-weight, whole-epoch replication and the exact
+    driver-side int(frac·0xFFFFFFFF) threshold; the oracle rebuilds the
+    same mixture from a VALUES table of the identical integers."""
+    from statefulstreamprocessor_spark.operators.mixture import (
+        mixture_interleave,
+    )
+
+    weights = {
+        f"src{i}": (i % 3) + [0.0, 0.25, 0.5, 0.75][i % 4]
+        for i in range(20)
+    }
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return mixture_interleave(docs, "source", "doc_id", weights, salt="mix6")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level sessionization (the primitive under the session-window
     aggregate): per user, a new session starts after a >30 min gap;
@@ -2024,6 +2126,71 @@ def q_stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming latest-wins UPSERT sink (round 6): events stream in 3
+    time-ordered chunks into a conditional MERGE
+    (streaming/sink.UpsertTableSink → TableHandle.merge_into with
+    ``WHEN MATCHED AND struct(s.ts_us, s.event_id) >=
+    struct(t.ts_us, t.event_id)``) against an event_type-partitioned
+    table; the final table holds each user's latest event — the
+    reference's InfluxDB tags+time upsert contract (db_connector.py:
+    53-66) as a lakehouse MERGE. The oracle is the plain per-key argmax,
+    so the gate pins the full chain: per-batch hot-key-safe pre-reduce,
+    conditional file-level copy-on-write merge, epoch ledger."""
+    import os
+    import tempfile
+
+    from statefulstreamprocessor_spark.operators.sessions import _us
+    from statefulstreamprocessor_spark.sources.staging import (
+        write_time_ordered_chunks,
+    )
+    from statefulstreamprocessor_spark.sources.tables import create_table
+    from statefulstreamprocessor_spark.streaming.sink import UpsertTableSink
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="ssp_upsert_gate_")
+    in_dir = os.path.join(tmp, "input")
+    write_time_ordered_chunks(ev, in_dir, n_files=3, ts_col="ts")
+    table = create_table(
+        spark,
+        os.path.join(tmp, "t"),
+        "user_id bigint, ts_us bigint, event_id bigint, "
+        "event_type string, value double",
+        partition_by=["event_type"],
+    )
+    table.append(
+        spark.createDataFrame([], table.schema_ddl)
+    )  # declare empty v0 so the first merge has a target
+    sink = UpsertTableSink(
+        table, keys=["user_id"], order_cols=["ts_us", "event_id"]
+    )
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp_ntz, user_id bigint, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    shaped = raw.select(
+        "user_id",
+        _us(F.col("ts")).alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    q = (
+        shaped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink.read()
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (video-pipeline shape): fixed
     32-byte frames, every 4th kept, emitted as (doc_id, frame_idx,
@@ -2493,6 +2660,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 new surface
         "time_travel": q_time_travel,
         "compact_latest": q_compact_latest,
+        "shuffle_shards": q_shuffle_shards,
+        "streaming_upsert": q_streaming_upsert,
+        "mixture_interleave": q_mixture_interleave,
+        "streaming_minhash": q_streaming_minhash,
         # flagship
         "nn_pair_join": q_nn_pair_join,
         # r05-recorded, untouched — fills the remaining recorded slots
@@ -3891,6 +4062,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
             FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5
         """,
+        "mixture_interleave": """
+            WITH w AS (
+                SELECT * FROM (VALUES
+                    ('src0', 0, 0), ('src1', 1, 1073741823), ('src2', 2, 2147483647), ('src3', 0, 3221225471),
+                    ('src4', 1, 0), ('src5', 2, 1073741823), ('src6', 0, 2147483647), ('src7', 1, 3221225471),
+                    ('src8', 2, 0), ('src9', 0, 1073741823), ('src10', 1, 2147483647), ('src11', 2, 3221225471),
+                    ('src12', 0, 0), ('src13', 1, 1073741823), ('src14', 2, 2147483647), ('src15', 0, 3221225471),
+                    ('src16', 1, 0), ('src17', 2, 1073741823), ('src18', 0, 2147483647), ('src19', 1, 3221225471)
+                ) t(source, full_n, thr)
+            ), e AS (
+                SELECT d.doc_id, d.source, d.n_chars, w.full_n, w.thr,
+                       r.epoch
+                FROM documents d
+                JOIN w ON d.source = w.source
+                CROSS JOIN LATERAL (
+                    SELECT unnest(range(w.full_n + 1)) AS epoch
+                ) r
+            )
+            SELECT doc_id, source, n_chars, CAST(epoch AS BIGINT) AS epoch
+            FROM e
+            WHERE epoch < full_n
+               OR ('0x' || substring(
+                      md5(CAST(doc_id AS VARCHAR) || 'mix6'), 1, 8
+                  ))::UBIGINT < thr
+        """,
+        "streaming_upsert": """
+            SELECT user_id, ts_us, event_id, event_type, value
+            FROM (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                       event_type, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "shuffle_shards": """
+            WITH h AS (
+                SELECT doc_id, n_chars,
+                       md5('r6shuffle:' || CAST(doc_id AS VARCHAR)) AS hh
+                FROM documents
+            ), r AS (
+                SELECT doc_id, n_chars,
+                       CAST(row_number() OVER (ORDER BY hh, doc_id) - 1
+                            AS BIGINT) AS m,
+                       CAST(count(*) OVER () AS BIGINT) AS n
+                FROM h
+            )
+            SELECT doc_id, n_chars,
+                   (m * 8) // n AS shard,
+                   m - ((((m * 8) // n) * n + 7) // 8) AS pos
+            FROM r
+        """,
         "pack_sequences": """
             WITH t AS (
                 SELECT doc_id,
@@ -4217,4 +4442,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT p.doc_id, CAST(e.r AS DOUBLE) AS c_ratio
         FROM planted p LEFT JOIN expected e ON p.n = e.n
     """
+    # the streaming near-dup sweep must reproduce the batch sweep's pair
+    # set exactly (id-ordered ingest — q_streaming_minhash docstring), so
+    # it is pinned to the IDENTICAL all-pairs exact-Jaccard oracle
+    d["streaming_minhash"] = d["minhash_lsh"]
     return d

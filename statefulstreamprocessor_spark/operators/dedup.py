@@ -103,6 +103,41 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+def band_bucket_explode(
+    with_sig: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, sig) → one row per (id, band, bucket): the LSH banding —
+    bucket = xxhash64 of the band's signature slice. Factored out so the
+    batch sweep (:func:`minhash_lsh_candidates`) and the streaming sweep
+    (``streaming/neardup.py``) bucket IDENTICALLY by construction —
+    their candidate sets can then be compared row-for-row."""
+    return (
+        with_sig.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(
+                            F.slice(
+                                F.col("sig"),
+                                b * rows_per_band + 1,
+                                rows_per_band,
+                            ).cast("string")
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        )
+        .select(
+            "id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -122,22 +157,7 @@ def minhash_lsh_candidates(
     rows_per_band = n_perm // bands
     sig = minhash_signature_udf(k, n_perm)
     with_sig = df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
-    banded = with_sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(
-                            F.col("sig"), b * rows_per_band + 1, rows_per_band
-                        ).cast("string")
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = band_bucket_explode(with_sig, bands, rows_per_band)
     grouped = banded.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_list("id")).alias("ids")
     )

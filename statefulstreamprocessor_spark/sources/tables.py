@@ -20,6 +20,7 @@ sandbox stand-in), with the same observable contracts:
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import shutil
@@ -175,35 +176,54 @@ class TableHandle:
         self._write_meta()
         self._sweep(keep={s["data_dir"] for s in self.snapshots})
 
-    def changelog(self) -> DataFrame:
-        """Row-level change feed vs the previous retained snapshot
-        (Iceberg changelog-scan analogue, enabled by the snapshot
+    def changelog(
+        self,
+        from_version: int | None = None,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Row-level change feed between two retained snapshots
+        (Iceberg incremental changelog scan, enabled by the snapshot
         retention in :meth:`_commit_swap`).
 
+        Defaults reproduce the classic single-step feed: ``from`` = the
+        previous retained snapshot, ``to`` = the current table. Passing
+        explicit versions (any two retained by ``retain_snapshots`` /
+        :meth:`vacuum`) yields the NET delta across the whole version
+        range — e.g. ``changelog(0, 3)`` collapses three commits into
+        one CDC batch, and a row upserted then deleted inside the range
+        cancels out entirely, exactly like replaying the per-commit
+        feeds and summing.
+
         Output: the table columns plus ``_change`` — the net multiset
-        delta per distinct row (positive = inserted since the previous
-        snapshot, negative = deleted); unchanged rows are absent, so a
-        pure bin-pack compaction yields an EMPTY changelog. Shape: the
-        two snapshots union with ±1 weights into ONE map-side-combinable
+        delta per distinct row (positive = inserted over the range,
+        negative = deleted); unchanged rows are absent, so a pure
+        bin-pack compaction yields an EMPTY changelog. Shape: the two
+        snapshots union with ±1 weights into ONE map-side-combinable
         aggregation over the row — no join, one exchange, partials
         collapse in the scan tasks.
         """
-        if not self._prev_data_name:
-            raise ValueError(
-                "no previous snapshot retained (nothing committed yet, "
-                "or it was vacuumed)"
-            )
-        prev_dir = os.path.join(self.path, self._prev_data_name)
-        if not os.path.isdir(prev_dir):
-            raise ValueError(f"previous snapshot missing: {prev_dir}")
         schema = self.spark.createDataFrame([], self.schema_ddl).schema
         cols = [f.name for f in schema.fields]
-        cur = self.spark.read.schema(schema).parquet(self.data_dir).select(
-            *cols, F.lit(1).alias("__w")
-        )
-        prev = self.spark.read.schema(schema).parquet(prev_dir).select(
-            *cols, F.lit(-1).alias("__w")
-        )
+        if to_version is None:
+            cur = self.spark.read.schema(schema).parquet(self.data_dir)
+        else:
+            cur = self.read_version(to_version)
+        if from_version is None:
+            if not self._prev_data_name:
+                raise ValueError(
+                    "no previous snapshot retained (nothing committed "
+                    "yet, or it was vacuumed)"
+                )
+            prev_dir = os.path.join(self.path, self._prev_data_name)
+            if not os.path.isdir(prev_dir):
+                raise ValueError(
+                    f"previous snapshot missing: {prev_dir}"
+                )
+            prev = self.spark.read.schema(schema).parquet(prev_dir)
+        else:
+            prev = self.read_version(from_version)
+        cur = cur.select(*cols, F.lit(1).alias("__w"))
+        prev = prev.select(*cols, F.lit(-1).alias("__w"))
         return (
             cur.unionByName(prev)
             .groupBy(*cols)
@@ -360,6 +380,7 @@ class TableHandle:
         source: DataFrame,
         keys: list[str],
         when_matched: str = "update",
+        match_condition: str | None = None,
     ) -> None:
         """Iceberg ``MERGE INTO`` analogue: upsert (or delete) by key,
         committed atomically via :meth:`_commit_swap`.
@@ -371,6 +392,23 @@ class TableHandle:
         Multiple source rows for one key raise (the same
         cardinality-violation error Iceberg's MERGE throws — silently
         picking one would be nondeterministic).
+
+        ``match_condition`` (Iceberg ``WHEN MATCHED AND <cond> THEN``): a
+        SQL boolean over aliases ``s`` (source row) and ``t`` (target
+        row), e.g. ``"s.ts > t.ts"``. A matched target row is replaced /
+        deleted only when the condition holds; a matched source row that
+        fails it against some target row is DROPPED (it matched, so it
+        is not an insert — Iceberg's "matched but no clause applies"
+        no-op). Unmatched source rows still insert in update mode. With
+        e.g. ``"struct(s.ts, ...) >= struct(t.ts, ...)"`` this makes the
+        upsert LAST-WRITER-WINS-BY-EVENT-TIME and therefore IDEMPOTENT
+        under replay — re-merging an already-applied batch changes
+        nothing — the contract the reference's InfluxDB sink gets from
+        tags+time upserts (reference ``db_connector.py:53-66``). The
+        condition must never evaluate NULL for a matched pair (use
+        null-safe comparisons for nullable columns): both the replace
+        and the keep decision treat NULL as "condition failed", which
+        would keep the target row AND insert the source row.
 
         Scale shape — file-level copy-on-write, O(touched files + delta)
         like Iceberg's MERGE, never O(table) (round-6; the previous
@@ -447,19 +485,54 @@ class TableHandle:
                 when_matched == "delete" or not source.take(1)
             ):
                 return  # nothing matched, nothing to insert — no-op
-            if touched:
-                survivors = (
-                    self.spark.read.option("basePath", self.data_dir)
-                    .schema(declared)
-                    .parquet(*touched)
-                    .join(src_keys, keys, "left_anti")
-                )
+            tgt = (
+                self.spark.read.option("basePath", self.data_dir)
+                .schema(declared)
+                .parquet(*touched)
+                if touched
+                else self.spark.createDataFrame([], declared)
+            )
+            src_declared = source.select(*[f.name for f in declared]) \
+                if when_matched == "update" else source
+            if match_condition is None:
+                survivors = tgt.join(src_keys, keys, "left_anti")
+                winners = src_declared
             else:
-                survivors = self.spark.createDataFrame([], declared)
-            merged = (
-                survivors.unionByName(
-                    source.select(*[f.name for f in declared])
+                # conditional clause: both sides are equi-keyed anti
+                # joins with the condition as an extra join predicate —
+                # Catalyst plans them as hash/sort-merge anti joins on
+                # the keys with the condition as a post-join filter, so
+                # the scale shape stays one key shuffle over the touched
+                # files + delta, never a cross product.
+                keys_eq = [
+                    F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+                    for k in keys
+                ]
+                cond = F.expr(match_condition)
+                # target rows beaten by some source row leave; the rest
+                # stay (including matched rows the condition spared)
+                survivors = (
+                    tgt.alias("t")
+                    .join(
+                        source.alias("s"),
+                        functools.reduce(lambda a, b: a & b, keys_eq)
+                        & cond,
+                        "left_anti",
+                    )
                 )
+                winners = (
+                    src_declared.alias("s")
+                    .join(
+                        tgt.alias("t"),
+                        functools.reduce(lambda a, b: a & b, keys_eq)
+                        & ~cond,
+                        "left_anti",
+                    )
+                    if when_matched == "update"
+                    else src_declared
+                )
+            merged = (
+                survivors.unionByName(winners)
                 if when_matched == "update"
                 else survivors
             )

@@ -467,3 +467,104 @@ def test_snapshot_retention_time_travel_three_versions(spark, tmp_path):
         if e.startswith("data-")
     }
     assert leftover == {re._data_name}
+
+
+def test_merge_into_match_condition_latest_wins(spark, tmp_path):
+    """Round-6 conditional MERGE (Iceberg WHEN MATCHED AND <cond>): a
+    newer-event-time source row replaces the target, a STALE source row
+    is a matched no-op (kept target, dropped source), and re-merging an
+    already-applied batch is the identity — the reference sink's
+    tags+time upsert idempotence (db_connector.py:53-66)."""
+    t = create_table(spark, str(tmp_path / "t"), DDL, partition_by=["lang"])
+    t.append(_rows(spark, 4))  # u0..u3, n = 0..3
+    cond = "struct(s.n) >= struct(t.n)"
+
+    # newer (bigger n) wins; u9 is an insert
+    fresh = spark.createDataFrame(
+        [("u2", None, "en", 202), ("u9", None, "de", 9)], DDL
+    )
+    t.merge_into(fresh, ["url"], match_condition=cond)
+    got = {r["url"]: r["n"] for r in t.read().collect()}
+    assert got == {"u0": 0, "u1": 1, "u2": 202, "u3": 3, "u9": 9}
+
+    # stale (smaller n) is a matched no-op: target kept, source dropped
+    stale = spark.createDataFrame([("u2", None, "en", 7)], DDL)
+    t.merge_into(stale, ["url"], match_condition=cond)
+    got = {r["url"]: r["n"] for r in t.read().collect()}
+    assert got["u2"] == 202 and len(got) == 5
+
+    # replay idempotence: re-merging an applied batch changes nothing
+    t.merge_into(fresh, ["url"], match_condition=cond)
+    assert {r["url"]: r["n"] for r in t.read().collect()} == got
+    assert t.changelog().count() == 0  # identical rows cancel out
+
+    # conditional delete: only rows the condition dooms leave
+    t.merge_into(
+        spark.createDataFrame([("u2", None, "en", 100)], DDL),
+        ["url"],
+        when_matched="delete",
+        match_condition="t.n <= s.n",  # 202 > 100 → spared
+    )
+    assert {r["url"] for r in t.read().collect()} == {
+        "u0", "u1", "u2", "u3", "u9"
+    }
+    t.merge_into(
+        spark.createDataFrame([("u2", None, "en", 300)], DDL),
+        ["url"],
+        when_matched="delete",
+        match_condition="t.n <= s.n",  # 202 <= 300 → deleted
+    )
+    assert {r["url"] for r in t.read().collect()} == {
+        "u0", "u1", "u3", "u9"
+    }
+
+
+def test_changelog_between_arbitrary_versions(spark, tmp_path):
+    """Round-6 incremental CDC: changelog(from, to) over any two retained
+    versions nets the whole range — an upsert-then-delete inside the
+    range cancels out; the range feed equals the sum of the per-step
+    feeds; expired versions raise."""
+    import pytest as _pytest
+
+    t = create_table(
+        spark, str(tmp_path / "t"), DDL, partition_by=["lang"],
+        retain_snapshots=4,
+    )
+    t.append(_rows(spark, 3))                                # v? base: u0,u1,u2
+    v0 = t.snapshots[-1]["version"]
+    up = spark.createDataFrame([("u1", None, "en", 101), ("u9", None, "de", 9)], DDL)
+    t.merge_into(up, ["url"])                                # v1: u1→101, +u9
+    v1 = t.snapshots[-1]["version"]
+    t.merge_into(
+        spark.createDataFrame([("u9", None, "de", 0)], DDL),
+        ["url"], when_matched="delete",
+    )                                                        # v2: -u9
+    v2 = t.snapshots[-1]["version"]
+
+    # net range v0→v2: u1 replaced; u9 inserted+deleted cancels out
+    net = {(r["url"], r["n"]): r["_change"]
+           for r in t.changelog(v0, v2).collect()}
+    assert net == {("u1", 1): -1, ("u1", 101): 1}
+
+    # range feed == sum of per-step feeds
+    step1 = {(r["url"], r["n"]): r["_change"]
+             for r in t.changelog(v0, v1).collect()}
+    step2 = {(r["url"], r["n"]): r["_change"]
+             for r in t.changelog(v1, v2).collect()}
+    summed = dict(step1)
+    for k, w in step2.items():
+        summed[k] = summed.get(k, 0) + w
+    assert {k: w for k, w in summed.items() if w != 0} == net
+
+    # default args still mean previous→current
+    assert {(r["url"], r["n"]): r["_change"]
+            for r in t.changelog().collect()} == step2
+
+    # reversed range is the negation
+    rev = {(r["url"], r["n"]): r["_change"]
+           for r in t.changelog(v2, v0).collect()}
+    assert rev == {k: -w for k, w in net.items()}
+
+    # unknown version raises, never substitutes
+    with _pytest.raises(ValueError, match="not retained"):
+        t.changelog(999, v2).collect()

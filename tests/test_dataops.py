@@ -943,3 +943,121 @@ def test_group_trend_no_int64_overflow(spark):
     assert len(out) == 1
     # exact slope: v rises 2.0 per 1e6 s → 2e-6 per second
     assert out[0]["slope"] == round(2e-6, 6)
+
+
+def test_shuffle_shards_matches_global_sort(spark):
+    """Round-6 shuffle_shards: the bucketed two-level rank must equal the
+    naive global ORDER BY (md5(seed:id), id) permutation bit-for-bit;
+    shard sizes balanced to ±1; pos dense 0..size-1 per shard; same seed
+    reproduces, different seed permutes differently."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from statefulstreamprocessor_spark.operators.shuffle import (
+        shuffle_shards,
+    )
+
+    n, k = 1009, 7
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3).alias("v")
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffle_shards(df, "doc_id", k, "s1").collect()
+    }
+    assert len(got) == n
+    sizes = Counter(s for s, _ in got.values())
+    assert set(sizes) == set(range(k))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    for s in range(k):
+        ps = sorted(p for sh, p in got.values() if sh == s)
+        assert ps == list(range(sizes[s]))
+    # exact permutation parity with the naive global sort
+    perm = sorted(
+        got, key=lambda i: (hashlib.md5(f"s1:{i}".encode()).hexdigest(), i)
+    )
+    by_rank = [i for i, _ in sorted(got.items(), key=lambda kv: kv[1])]
+    assert perm == by_rank
+    # determinism + seed sensitivity
+    again = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffle_shards(df, "doc_id", k, "s1").collect()
+    }
+    assert again == got
+    other = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffle_shards(df, "doc_id", k, "s2").collect()
+    }
+    assert other != got
+    # empty input and bad arg
+    empty = shuffle_shards(df.limit(0), "doc_id", k, "s1").collect()
+    assert empty == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        shuffle_shards(df, "doc_id", 0, "s1")
+
+
+def test_mixture_interleave_exact_and_fail_closed(spark):
+    """Round-6 mixture_interleave: floor(w) full epochs + exact
+    int(frac·0xFFFFFFFF) hash-thresholded fractional epoch, verified
+    against a Python replay; weight-0 sources drop entirely; an unmapped
+    source fails CLOSED at execution; zero exchanges in the plan."""
+    import hashlib
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from statefulstreamprocessor_spark.operators.mixture import (
+        mixture_interleave,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string")
+    weights = {"a": 0.0, "b": 1.5, "c": 2.0}
+    out = mixture_interleave(df, "src", "doc_id", weights, salt="t")
+    got = {(r["doc_id"], r["epoch"]) for r in out.collect()}
+
+    exp = set()
+    for i, s in rows:
+        w = weights[s]
+        full = int(w // 1)
+        thr = int((w - full) * 0xFFFFFFFF)
+        h = int(hashlib.md5(f"{i}t".encode()).hexdigest()[:8], 16)
+        for e in range(full):
+            exp.add((i, e))
+        if h < thr:
+            exp.add((i, full))
+    assert got == exp
+    assert not any(s == "a" for _, s in rows if (_, 0) in got and s == "a")
+
+    # determinism
+    again = {
+        (r["doc_id"], r["epoch"])
+        for r in mixture_interleave(
+            df, "src", "doc_id", weights, salt="t"
+        ).collect()
+    }
+    assert again == got
+
+    # fail closed: a source with no weight raises at execution
+    with _pytest.raises(Exception, match="no weight for src"):
+        mixture_interleave(
+            df, "src", "doc_id", {"a": 1.0, "b": 1.0}, salt="t"
+        ).collect()
+
+    # validation
+    with _pytest.raises(ValueError, match="non-empty"):
+        mixture_interleave(df, "src", "doc_id", {})
+    with _pytest.raises(ValueError, match="finite"):
+        mixture_interleave(df, "src", "doc_id", {"a": -1.0})
+    with _pytest.raises(ValueError, match="epoch"):
+        mixture_interleave(
+            df.withColumn("epoch", F.lit(0)), "src", "doc_id", {"a": 1.0}
+        )
+
+    # scale shape: no shuffle anywhere — pure map-side codegen
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

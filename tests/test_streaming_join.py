@@ -1253,3 +1253,205 @@ def test_streaming_sessionize_full_eviction_removes_state_rows(spark, tmp_path):
         f"expected only the filler group to keep state, got "
         f"{state_rows[-1]} rows (history {state_rows})"
     )
+
+
+def test_upsert_table_sink_latest_wins_and_replay_identity(spark, tmp_path):
+    """Round-6 UpsertTableSink (conditional MERGE as streaming sink):
+    per-batch hot-key pre-reduce, cross-batch latest-wins by
+    (ts, seq), ledger-hit replay is a no-op, and — the crash window
+    between the merge commit and the ledger write — re-running the SAME
+    batch with the ledger record deleted is the identity because the
+    merge condition makes it so (layer 2)."""
+    import json as _json
+    import os as _os
+
+    from statefulstreamprocessor_spark.sources.tables import create_table
+    from statefulstreamprocessor_spark.streaming.sink import UpsertTableSink
+
+    t = create_table(
+        spark, str(tmp_path / "t"),
+        "k string, ts bigint, seq bigint, v double",
+        partition_by=None,
+    )
+    t.append(spark.createDataFrame([], t.schema_ddl))
+    sink = UpsertTableSink(t, keys=["k"], order_cols=["ts", "seq"])
+    ddl = "k string, ts bigint, seq bigint, v double"
+
+    # batch 0: duplicate key inside the batch → pre-reduce picks (ts,seq) max
+    b0 = spark.createDataFrame(
+        [("a", 10, 1, 1.0), ("a", 10, 2, 2.0), ("b", 5, 1, 3.0)], ddl
+    )
+    sink(b0, 0)
+    got = {r["k"]: (r["ts"], r["seq"], r["v"]) for r in t.read().collect()}
+    assert got == {"a": (10, 2, 2.0), "b": (5, 1, 3.0)}
+
+    # batch 1: newer a wins, stale b is a matched no-op, c inserts
+    b1 = spark.createDataFrame(
+        [("a", 11, 1, 9.0), ("b", 4, 9, 8.0), ("c", 1, 1, 7.0)], ddl
+    )
+    sink(b1, 1)
+    got = {r["k"]: (r["ts"], r["seq"], r["v"]) for r in t.read().collect()}
+    assert got == {"a": (11, 1, 9.0), "b": (5, 1, 3.0), "c": (1, 1, 7.0)}
+
+    # ledger-hit replay: full no-op (no new snapshot committed)
+    versions_before = [s["version"] for s in t.snapshots]
+    sink(b1, 1)
+    assert [s["version"] for s in t.snapshots] == versions_before
+
+    # crash window: merge committed but ledger record lost → the replay
+    # re-merges, and the >= condition makes it the data identity
+    with open(sink.ledger_path) as f:
+        ledger = _json.load(f)
+    ledger["batches"].remove(1)
+    with open(sink.ledger_path, "w") as f:
+        _json.dump(ledger, f)
+    sink(b1, 1)
+    got2 = {r["k"]: (r["ts"], r["seq"], r["v"]) for r in t.read().collect()}
+    assert got2 == got
+    assert t.changelog().count() == 0  # identical rows cancel out
+
+    # order_cols validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="disjoint"):
+        UpsertTableSink(t, keys=["k"], order_cols=["k"])
+    with _pytest.raises(ValueError, match="non-empty"):
+        UpsertTableSink(t, keys=["k"], order_cols=[])
+
+
+def test_streaming_minhash_equals_batch(spark, tmp_path):
+    """Round-6 streaming near-dup: the (band,bucket)-stateful candidate
+    sweep over id-ordered chunks reproduces the batch LSH candidate set
+    exactly — including smallest-ids bucket truncation — and a
+    checkpoint resume emits no duplicate candidates for replayed ids."""
+    from statefulstreamprocessor_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from statefulstreamprocessor_spark.sources.staging import (
+        write_time_ordered_chunks,
+    )
+    from statefulstreamprocessor_spark.streaming.neardup import (
+        streaming_minhash_pairs,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the winter trip",
+        "sphinx of black quartz judge my vow said the old librarian",
+    ]
+    rows = []
+    for i in range(60):
+        t = base[i % 3]
+        if i >= 30:
+            t = t + " x"  # near-dup of its base with one extra token
+        rows.append((i, t))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    batch_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            df, "text", "doc_id", max_bucket_size=8
+        ).collect()
+    }
+    assert batch_pairs  # the fixture must actually produce candidates
+
+    in_dir = str(tmp_path / "in")
+    write_time_ordered_chunks(df, in_dir, n_files=3, ts_col="doc_id")
+    raw = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    pairs = streaming_minhash_pairs(
+        raw, "text", "doc_id", max_bucket_size=8
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(out).distinct().collect()
+    }
+    assert got == batch_pairs
+
+    # resume from the completed checkpoint: nothing new to process,
+    # nothing re-emitted
+    n_before = spark.read.parquet(out).count()
+    q2 = (
+        streaming_minhash_pairs(raw, "text", "doc_id", max_bucket_size=8)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == n_before
+
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must divide"):
+        streaming_minhash_pairs(raw, "text", "doc_id", bands=7)
+    with _pytest.raises(ValueError, match="max_bucket_size"):
+        streaming_minhash_pairs(raw, "text", "doc_id", max_bucket_size=1)
+
+
+def test_streaming_minhash_bucket_saturation_matches_batch(spark, tmp_path):
+    """The truncation knob agrees between forms: with max_bucket_size=2
+    and four identical docs, both sweeps pair only the two smallest ids."""
+    from statefulstreamprocessor_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from statefulstreamprocessor_spark.sources.staging import (
+        write_time_ordered_chunks,
+    )
+    from statefulstreamprocessor_spark.streaming.neardup import (
+        streaming_minhash_pairs,
+    )
+
+    txt = "identical corpus text for every single one of these documents"
+    df = spark.createDataFrame(
+        [(i, txt) for i in range(4)], "doc_id bigint, text string"
+    )
+    batch_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            df, "text", "doc_id", max_bucket_size=2
+        ).collect()
+    }
+    assert batch_pairs == {(0, 1)}
+
+    in_dir = str(tmp_path / "in")
+    write_time_ordered_chunks(df, in_dir, n_files=2, ts_col="doc_id")
+    raw = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_minhash_pairs(raw, "text", "doc_id", max_bucket_size=2)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .distinct()
+        .collect()
+    }
+    assert got == {(0, 1)}
