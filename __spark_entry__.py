@@ -1100,6 +1100,65 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 three-sentence-span dedup (Raffel et al. 2020 §2.2): documents
+    are built with a unique head/tail sentence and a 3-sentence
+    syndicated block shared by every doc in the same mod-37 class;
+    every 50th doc repeats the block within itself. The span survives
+    only at its smallest (doc_id, start) occurrence — so per class one
+    doc keeps the block, every other loses exactly those 3 lines, and
+    the within-doc repeats vanish even in winning docs. The oracle
+    replays the same construction and winner rule in SQL (grouping by
+    span text where Spark groups by the md5 fingerprint — identical
+    absent an md5 collision)."""
+    from statefulstreamprocessor_spark.operators.docclean import (
+        remove_duplicate_spans,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    mod = (F.col("doc_id") % 37).cast("string")
+    rep = F.col("doc_id") % 50 == 0
+    built = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("U0 "), F.col("doc_id").cast("string")),
+            F.concat(F.lit("SYN A "), mod),
+            F.concat(F.lit("SYN B "), mod),
+            F.concat(F.lit("SYN C "), mod),
+            F.concat(F.lit("U4 "), F.col("doc_id").cast("string")),
+            F.when(rep, F.concat(F.lit("SYN A "), mod)),
+            F.when(rep, F.concat(F.lit("SYN B "), mod)),
+            F.when(rep, F.concat(F.lit("SYN C "), mod)),
+        ).alias("text"),
+    )
+    out = remove_duplicate_spans(built, "text", "doc_id", k=3)
+    return out.select(
+        F.col("id").alias("doc_id"), "text", "n_kept", "n_dropped"
+    )
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking with overlap (context-window prep): every
+    document cut into 32-token windows with 8-token overlap (stride 24),
+    the final window pulled back to full width. Zero-exchange plan —
+    the oracle replays the identical start arithmetic over DuckDB
+    lists."""
+    from statefulstreamprocessor_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    out = chunk_documents(
+        docs.select("doc_id", "text"), "text", "doc_id",
+        chunk_tokens=32, overlap_tokens=8,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "chunk_id", "chunk_text", "n_tokens", "start_token",
+    )
+
+
 def q_length_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-balanced corpus sampling: rank docs by (n_chars, doc_id)
     with the distributed two-level prefix-sum scan (never a global
@@ -2664,6 +2723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_upsert": q_streaming_upsert,
         "mixture_interleave": q_mixture_interleave,
         "streaming_minhash": q_streaming_minhash,
+        "duplicate_spans": q_duplicate_spans,
+        "chunk_docs": q_chunk_docs,
         # flagship
         "nn_pair_join": q_nn_pair_join,
         # r05-recorded, untouched — fills the remaining recorded slots
@@ -3758,6 +3819,99 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
                        AS n_dropped
             FROM flagged GROUP BY doc_id
+        """,
+        "duplicate_spans": """
+            WITH built AS (
+                SELECT doc_id,
+                       'U0 ' || doc_id AS s0,
+                       'SYN A ' || (doc_id % 37) AS s1,
+                       'SYN B ' || (doc_id % 37) AS s2,
+                       'SYN C ' || (doc_id % 37) AS s3,
+                       'U4 ' || doc_id AS s4,
+                       (doc_id % 50 = 0) AS rep
+                FROM documents
+            ), sents AS (
+                SELECT doc_id, 0 AS ord, s0 AS seg FROM built
+                UNION ALL SELECT doc_id, 1, s1 FROM built
+                UNION ALL SELECT doc_id, 2, s2 FROM built
+                UNION ALL SELECT doc_id, 3, s3 FROM built
+                UNION ALL SELECT doc_id, 4, s4 FROM built
+                UNION ALL SELECT doc_id, 5, s1 FROM built WHERE rep
+                UNION ALL SELECT doc_id, 6, s2 FROM built WHERE rep
+                UNION ALL SELECT doc_id, 7, s3 FROM built WHERE rep
+            ), spans AS (
+                -- span identity by TEXT here vs md5 fingerprint in
+                -- Spark: identical absent an md5 collision (2^-128)
+                SELECT a.doc_id, a.ord AS strt,
+                       a.seg || chr(31) || b.seg || chr(31) || c.seg AS sh
+                FROM sents a
+                JOIN sents b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+                JOIN sents c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+            ), dups AS (
+                -- strt < 8, so doc_id*8+strt orders like (doc_id, strt)
+                SELECT sh, min(doc_id * 8 + strt) AS wk
+                FROM spans GROUP BY sh HAVING count(*) > 1
+            ), covered AS (
+                SELECT DISTINCT s.doc_id, s.strt + g.r AS ord
+                FROM spans s
+                JOIN dups d ON s.sh = d.sh
+                CROSS JOIN range(0, 3) g(r)
+                WHERE s.doc_id * 8 + s.strt <> d.wk
+            ), flagged AS (
+                SELECT s.doc_id, s.ord, s.seg, c.ord IS NULL AS keep
+                FROM sents s
+                LEFT JOIN covered c
+                  ON c.doc_id = s.doc_id AND c.ord = s.ord
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN keep THEN seg END,
+                                       chr(10) ORDER BY ord), '') AS text,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_dropped
+            FROM flagged GROUP BY doc_id
+        """,
+        "chunk_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(coalesce(text, ''), '\\s+'),
+                           x -> x <> ''
+                       ) AS t
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+            ), st AS (
+                -- starts: 0, 24, ... while start <= n-32, plus one
+                -- pulled-back tail at n-32 when the last full-stride
+                -- window stops short of the end (chunk 32, stride 24)
+                SELECT doc_id, t, n,
+                       CASE
+                         WHEN n < 32 THEN [CAST(0 AS BIGINT)]
+                         WHEN ((n - 32) // 24) * 24 + 32 < n THEN
+                           list_append(
+                             list_transform(range(0, (n-32)//24 + 1),
+                                            i -> i*24),
+                             CAST(n - 32 AS BIGINT))
+                         ELSE list_transform(range(0, (n-32)//24 + 1),
+                                             i -> i*24)
+                       END AS ss
+                FROM sized
+            ), ex AS (
+                SELECT doc_id, t, n,
+                       unnest(range(0, len(ss))) AS chunk_id,
+                       unnest(ss) AS start_token
+                FROM st
+            )
+            SELECT doc_id,
+                   CAST(chunk_id AS INTEGER) AS chunk_id,
+                   array_to_string(
+                       t[start_token+1 : start_token+32], ' '
+                   ) AS chunk_text,
+                   CAST(least(32, n - start_token) AS INTEGER) AS n_tokens,
+                   CAST(start_token AS INTEGER) AS start_token
+            FROM ex
         """,
         "decontaminate_exact": """
             WITH fp AS (

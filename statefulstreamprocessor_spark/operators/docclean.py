@@ -36,7 +36,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dedup_paragraphs", "remove_boilerplate_lines"]
+__all__ = [
+    "dedup_paragraphs",
+    "remove_boilerplate_lines",
+    "remove_duplicate_spans",
+]
 
 
 def _segments(df: DataFrame, text_col: str, id_col: str, sep_regex: str):
@@ -123,6 +127,94 @@ def dedup_paragraphs(
             & (F.col("__first.pos") == F.col("pos"))
         ).alias("__keep"),
     )
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return _reassemble(flagged, sep, ids)
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    sep: str = "\n",
+    sep_regex: str | None = None,
+) -> DataFrame:
+    """C4's span-dedup rule ("we removed all but one of any three-sentence
+    span occurring more than once in the data set", Raffel et al. 2020
+    §2.2): every window of ``k`` consecutive segments is fingerprinted
+    corpus-wide; a span whose fingerprint occurs more than once survives
+    only at its smallest ``(id, start)`` occurrence, and every segment
+    covered by a non-winning occurrence is dropped. A segment is kept iff
+    NO removed span occurrence covers it — so overlapping duplicate spans
+    compose, and a within-document repeat of a span is removed too.
+
+    Segmentation is separator-based like the sibling cleaners (callers
+    supply their sentence segmentation via ``sep``/``sep_regex``; the
+    default treats lines as sentences). Documents with fewer than ``k``
+    segments produce no spans and pass through unchanged.
+
+    Output: ``id`` | ``text`` (reassembled) | ``n_kept`` | ``n_dropped``.
+
+    Shape for corpus scale: segments are collected once per document
+    (bounded by the document's own size — the same bound the reassembly
+    holds), span fingerprints are ``md5`` over the concatenation of the
+    ``k`` member-segment md5s (fixed-width hex, so no separator is
+    needed and the fingerprint is engine-portable), duplicate detection
+    is ONE map-side-combinable ``groupBy(fingerprint)`` with
+    ``count`` + ``min(struct(id, start))`` — never a window partitioned
+    by the fingerprint, which a viral span would skew (the paragraph-
+    dedup rule above). Removed occurrences join back on the fingerprint
+    (AQE skew-splittable), expand to covered ``(id, ord)`` pairs
+    (distinct — overlapping removals collapse), and flag segments with
+    one corpus-sized equi-join. Long segment text never rides a shuffle
+    keyed on content — only 32-char hashes do.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    segs = _segments(df, text_col, id_col, sep_regex or sep)
+    docs = (
+        segs.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "seg"))).alias("__ss"))
+        .withColumn("__hs", F.transform("__ss", lambda s: F.md5(s["seg"])))
+    )
+    sents = docs.select("id", F.posexplode("__ss").alias("ord", "__s")).select(
+        "id", "ord", F.col("__s.pos").alias("pos"), F.col("__s.seg").alias("seg")
+    )
+    spans = docs.select(
+        "id",
+        F.posexplode(
+            F.when(
+                F.size("__hs") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__hs") - F.lit(k)),
+                    lambda i: F.md5(F.concat_ws("", F.slice("__hs", i + 1, k))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("start", "__sh"),
+    )
+    winners = (
+        spans.groupBy("__sh")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.struct("id", "start")).alias("__first"),
+        )
+        .filter(F.col("__cnt") > 1)
+    )
+    removed = spans.join(winners, "__sh").filter(
+        ~(
+            (F.col("__first.id") == F.col("id"))
+            & (F.col("__first.start") == F.col("start"))
+        )
+    )
+    covered = removed.select(
+        "id",
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))
+        ).alias("ord"),
+    ).distinct()
+    flagged = sents.join(
+        covered.withColumn("__c", F.lit(True)), ["id", "ord"], "left"
+    ).select("id", "pos", "seg", F.col("__c").isNull().alias("__keep"))
     ids = df.select(F.col(id_col).alias("id")).distinct()
     return _reassemble(flagged, sep, ids)
 

@@ -142,3 +142,108 @@ def test_boilerplate_broadcast_anti_shape(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicate_spans (C4 three-sentence-span rule)
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_spans_basic_winner_keeps_all(spark):
+    from statefulstreamprocessor_spark.operators.docclean import (
+        remove_duplicate_spans,
+    )
+
+    # docs 0 and 1 share the 3-line span (sA, sB, sC); doc 0's occurrence
+    # is the global-first (smaller id) so doc 0 keeps everything and doc 1
+    # loses exactly the three covered lines
+    docs = [
+        "u0\nsA\nsB\nsC\nv0",
+        "u1\nsA\nsB\nsC\nv1",
+        "solo\nlines\nonly",
+    ]
+    out = {
+        r["id"]: r
+        for r in remove_duplicate_spans(
+            _rows(spark, docs), "text", "doc_id", k=3
+        ).collect()
+    }
+    assert out[0]["text"] == docs[0]
+    assert (out[0]["n_kept"], out[0]["n_dropped"]) == (5, 0)
+    assert out[1]["text"] == "u1\nv1"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (2, 3)
+    assert out[2]["text"] == docs[2]
+
+
+def test_duplicate_spans_within_doc_repeat_removed(spark):
+    from statefulstreamprocessor_spark.operators.docclean import (
+        remove_duplicate_spans,
+    )
+
+    # the same 3-line span twice in ONE document: the first occurrence
+    # wins, the second's lines are dropped
+    docs = ["a\nb\nc\nmid\na\nb\nc\ntail"]
+    out = remove_duplicate_spans(
+        _rows(spark, docs), "text", "doc_id", k=3
+    ).collect()[0]
+    assert out["text"] == "a\nb\nc\nmid\ntail"
+    assert (out["n_kept"], out["n_dropped"]) == (5, 3)
+
+
+def test_duplicate_spans_overlapping_removals_compose(spark):
+    from statefulstreamprocessor_spark.operators.docclean import (
+        remove_duplicate_spans,
+    )
+
+    # doc 1 contains TWO duplicated spans that overlap on line 'y':
+    # (x, y) from doc 0 and (y, z) from doc 0 as well (k=2). Covered
+    # ordinals union; 'y' is dropped once, not twice.
+    docs = [
+        "x\ny\nz",
+        "p\nx\ny\nz\nq",
+    ]
+    out = {
+        r["id"]: r
+        for r in remove_duplicate_spans(
+            _rows(spark, docs), "text", "doc_id", k=2
+        ).collect()
+    }
+    assert out[0]["text"] == docs[0]
+    assert out[1]["text"] == "p\nq"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (2, 3)
+
+
+def test_duplicate_spans_short_docs_pass_through(spark):
+    from statefulstreamprocessor_spark.operators.docclean import (
+        remove_duplicate_spans,
+    )
+
+    # fewer than k segments -> no spans -> unchanged; empty/None text
+    # still comes out (text='') — cleaning never drops documents
+    df = spark.createDataFrame(
+        [(0, "a\nb"), (1, "a\nb"), (2, ""), (3, None)],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in remove_duplicate_spans(df, "text", "doc_id", k=3).collect()
+    }
+    assert len(out) == 4
+    assert out[0]["text"] == "a\nb" and out[1]["text"] == "a\nb"
+    assert out[2]["text"] == "" and out[3]["text"] == ""
+
+
+def test_duplicate_spans_window_free_plan(spark):
+    """Same discipline as paragraph dedup: duplicate detection is a
+    min(struct) aggregate joined back on the fingerprint — no Window
+    node anywhere (a viral span must not funnel one window partition)."""
+    from statefulstreamprocessor_spark.operators.docclean import (
+        remove_duplicate_spans,
+    )
+
+    df = _rows(spark, [f"s{i % 5}\nt{i % 5}\nu{i % 5}\nw{i}" for i in range(40)])
+    plan = (
+        remove_duplicate_spans(df, "text", "doc_id", k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan
