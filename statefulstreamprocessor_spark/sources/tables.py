@@ -375,12 +375,121 @@ class TableHandle:
         self._commit_swap(os.path.join(staged, "data"))
         return len(self.data_files())
 
+    def rewrite_clustered(
+        self, cluster_by: list[str], target_files: int
+    ) -> int:
+        """Iceberg sort-order rewrite (``rewrite_data_files`` with a
+        sort strategy): globally range-partition the table into
+        ``target_files`` contiguous ``cluster_by`` ranges
+        (``repartitionByRange`` samples the key distribution, so the
+        ranges are balanced even under skew) and sort within each, so
+        every data file carries a TIGHT min/max envelope on the cluster
+        columns and a range scan opens O(matching files) via
+        :meth:`read_between` (data skipping). Commits via
+        :meth:`_commit_swap`; hive partition columns keep their
+        directory layout (a range task spanning several partition
+        values writes one file per value — envelopes stay tight).
+        Returns the new data-file count.
+        """
+        if target_files < 1:
+            raise ValueError(f"target_files must be >= 1, got {target_files}")
+        if not cluster_by:
+            raise ValueError("cluster_by must name at least one column")
+        df = self.read()
+        staged = tempfile.mkdtemp(prefix="rewrite_", dir=self.path)
+        w = (
+            df.repartitionByRange(
+                target_files, *[F.col(c) for c in cluster_by]
+            )
+            .sortWithinPartitions(*cluster_by)
+            .write.mode("overwrite")
+        )
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(os.path.join(staged, "data"))
+        self._commit_swap(os.path.join(staged, "data"))
+        return len(self.data_files())
+
+    def file_column_stats(
+        self, col: str
+    ) -> list[tuple[str, object, object]]:
+        """Per-data-file ``(path, min, max)`` of ``col``, read from the
+        parquet footers — the sandbox stand-in for the per-file column
+        bounds an Iceberg manifest carries. Driver-side O(files) footer
+        reads (the same cost class as an Iceberg manifest walk), no
+        Spark job. A file whose footer lacks usable stats for the
+        column reports ``(None, None)`` — callers must treat that as
+        "may contain anything" (fail open). Parquet writers guarantee
+        written chunk stats bound the data (oversized stats are dropped,
+        never truncated incorrectly), which is what makes footer-based
+        skipping sound."""
+        import pyarrow.parquet as pq
+
+        if col in self.partition_by:
+            raise ValueError(
+                f"{col!r} is a hive partition column — its values live "
+                "in directory names, not file footers; partition "
+                "pruning already skips those directories"
+            )
+        out: list[tuple[str, object, object]] = []
+        for f in self.data_files():
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            if col not in names:
+                out.append((f, None, None))
+                continue
+            ci = names.index(col)
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None or st.min < lo else lo
+                hi = st.max if hi is None or st.max > hi else hi
+            out.append((f, lo, hi) if ok else (f, None, None))
+        return out
+
+    def files_between(self, col: str, lo, hi) -> list[str]:
+        """The data files whose ``col`` envelope overlaps ``[lo, hi]``
+        (inclusive), plus every file without stats — pruning is a
+        pure superset optimization and must never change results."""
+        keep = []
+        for f, mn, mx in self.file_column_stats(col):
+            if mn is None or mx is None or (mx >= lo and mn <= hi):
+                keep.append(f)
+        return keep
+
+    def read_between(self, col: str, lo, hi) -> DataFrame:
+        """Range scan with file-level data skipping: open only the
+        files :meth:`files_between` keeps, then apply the residual
+        ``BETWEEN`` filter — identical rows to
+        ``read().filter(col BETWEEN lo AND hi)`` by construction; the
+        envelopes only decide how many files get OPENED. After
+        :meth:`rewrite_clustered` on ``col`` the kept set is the few
+        overlapping ranges; on unclustered data envelopes straddle the
+        range and the scan degrades gracefully toward opening
+        everything (still correct)."""
+        schema = self.spark.createDataFrame([], self.schema_ddl).schema
+        pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        files = self.files_between(col, lo, hi)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.option("basePath", self.data_dir)
+            .schema(schema)
+            .parquet(*files)
+            .filter(pred)
+        )
+
     def merge_into(
         self,
         source: DataFrame,
         keys: list[str],
         when_matched: str = "update",
         match_condition: str | None = None,
+        update_exprs: dict[str, str] | None = None,
     ) -> None:
         """Iceberg ``MERGE INTO`` analogue: upsert (or delete) by key,
         committed atomically via :meth:`_commit_swap`.
@@ -409,6 +518,22 @@ class TableHandle:
         null-safe comparisons for nullable columns): both the replace
         and the keep decision treat NULL as "condition failed", which
         would keep the target row AND insert the source row.
+
+        ``update_exprs`` (Iceberg ``WHEN MATCHED THEN UPDATE SET``):
+        per-column SQL expressions over aliases ``t``/``s`` applied to
+        MATCHED rows instead of whole-row replacement — e.g.
+        ``{"cnt": "t.cnt + s.cnt", "sum_v": "t.sum_v + s.sum_v"}``
+        turns the merge into an ARITHMETIC upsert: O(delta) incremental
+        maintenance of a materialized rollup from a :meth:`changelog`
+        feed, instead of recomputing the aggregate from the full base
+        table. Columns not listed keep the target's value; merge keys
+        cannot be updated; every expression must produce the column's
+        declared type (checked, loud — a silent widening would corrupt
+        the table schema). Unmatched source rows still INSERT as-is,
+        and ``match_condition`` composes (matched rows failing it stay
+        untouched, their source rows drop). Note the asymmetry with
+        plain update mode: there a matched source row REPLACES the
+        target; here it feeds expressions.
 
         Scale shape — file-level copy-on-write, O(touched files + delta)
         like Iceberg's MERGE, never O(table) (round-6; the previous
@@ -441,6 +566,19 @@ class TableHandle:
                 f"when_matched must be update|delete, got {when_matched!r}"
             )
         declared = self.spark.createDataFrame([], self.schema_ddl).schema
+        if update_exprs is not None:
+            if when_matched != "update":
+                raise ValueError(
+                    "update_exprs requires when_matched='update'"
+                )
+            declared_names = {f.name for f in declared.fields}
+            for c in update_exprs:
+                if c in keys:
+                    raise ValueError(f"merge key {c!r} cannot be updated")
+                if c not in declared_names:
+                    raise ValueError(
+                        f"update_exprs column {c!r} is not a table column"
+                    )
         if when_matched == "update":
             got = {f.name: f.dataType for f in source.schema.fields}
             want = {f.name: f.dataType for f in declared.fields}
@@ -494,7 +632,52 @@ class TableHandle:
             )
             src_declared = source.select(*[f.name for f in declared]) \
                 if when_matched == "update" else source
-            if match_condition is None:
+            if update_exprs is not None:
+                # WHEN MATCHED THEN UPDATE SET — matched pairs feed the
+                # per-column expressions (inner equi-join on the keys,
+                # condition as a post-join filter predicate); unmatched
+                # targets pass through an anti join on the same
+                # predicate; unmatched sources insert via an anti join
+                # on the keys alone. Same one-key-shuffle scale shape
+                # as the replace path: touched files + delta, no cross
+                # product.
+                keys_eq = [
+                    F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+                    for k in keys
+                ]
+                keys_pred = functools.reduce(lambda a, b: a & b, keys_eq)
+                match_pred = (
+                    keys_pred & F.expr(match_condition)
+                    if match_condition is not None
+                    else keys_pred
+                )
+                out_cols = [
+                    F.expr(update_exprs[f.name]).alias(f.name)
+                    if f.name in update_exprs
+                    else F.col(f"t.{f.name}").alias(f.name)
+                    for f in declared.fields
+                ]
+                updated = (
+                    tgt.alias("t")
+                    .join(source.alias("s"), match_pred, "inner")
+                    .select(*out_cols)
+                )
+                got_u = {f.name: f.dataType for f in updated.schema.fields}
+                want_u = {f.name: f.dataType for f in declared.fields}
+                if got_u != want_u:
+                    raise ValueError(
+                        "update_exprs change column types: table "
+                        f"declares {want_u}, update produced {got_u}"
+                    )
+                survivors = tgt.alias("t").join(
+                    source.alias("s"), match_pred, "left_anti"
+                )
+                winners = updated.unionByName(
+                    src_declared.alias("s").join(
+                        tgt.alias("t"), keys_pred, "left_anti"
+                    )
+                )
+            elif match_condition is None:
                 survivors = tgt.join(src_keys, keys, "left_anti")
                 winners = src_declared
             else:

@@ -568,3 +568,163 @@ def test_changelog_between_arbitrary_versions(spark, tmp_path):
     # unknown version raises, never substitutes
     with _pytest.raises(ValueError, match="not retained"):
         t.changelog(999, v2).collect()
+
+
+def test_merge_update_exprs_arithmetic_upsert(spark, tmp_path):
+    """WHEN MATCHED THEN UPDATE SET: matched keys apply the per-column
+    t/s expressions (unlisted columns keep the target value), unmatched
+    source rows insert as-is; keys and unknown columns are rejected and
+    a type-changing expression fails loud."""
+    t = create_table(spark, str(tmp_path / "t"), DDL, partition_by=["lang"])
+    t.append(_rows(spark, 4))  # u0..u3, n=0..3
+    src = spark.createDataFrame(
+        [
+            ("u1", None, "IGNORED", 100),  # matched: n adds, lang kept
+            ("u7", None, "en", 700),       # unmatched: inserts verbatim
+        ],
+        DDL,
+    )
+    t.merge_into(src, ["url"], update_exprs={"n": "t.n + s.n"})
+    got = {r["url"]: (r["lang"], r["n"]) for r in t.read().collect()}
+    assert got == {
+        "u0": ("en", 0), "u2": ("en", 2), "u3": ("de", 3),
+        "u1": ("de", 101),       # 1 + 100, lang NOT replaced
+        "u7": ("en", 700),
+    }
+    with pytest.raises(ValueError, match="cannot be updated"):
+        t.merge_into(src, ["url"], update_exprs={"url": "s.url"})
+    with pytest.raises(ValueError, match="not a table column"):
+        t.merge_into(src, ["url"], update_exprs={"bogus": "1"})
+    with pytest.raises(ValueError, match="column types"):
+        t.merge_into(src, ["url"], update_exprs={"n": "t.n + 0.5"})
+    with pytest.raises(ValueError, match="requires when_matched"):
+        t.merge_into(
+            src, ["url"], when_matched="delete", update_exprs={"n": "t.n"}
+        )
+
+
+def test_merge_update_exprs_with_condition(spark, tmp_path):
+    """match_condition composes with update_exprs: matched rows failing
+    the condition stay untouched and their source rows drop."""
+    t = create_table(spark, str(tmp_path / "t"), DDL)
+    t.append(_rows(spark, 3))  # n = 0,1,2
+    src = spark.createDataFrame(
+        [("u1", None, "en", 10), ("u2", None, "en", -10)], DDL
+    )
+    t.merge_into(
+        src, ["url"],
+        match_condition="s.n > 0",
+        update_exprs={"n": "t.n + s.n"},
+    )
+    got = {r["url"]: r["n"] for r in t.read().collect()}
+    assert got == {"u0": 0, "u1": 11, "u2": 2}
+
+
+def test_incremental_rollup_from_changelog(spark, tmp_path):
+    """O(delta) materialized-rollup maintenance: a per-lang (cnt, total)
+    rollup kept in a second table via changelog + arithmetic MERGE
+    equals a full recompute from the final base snapshot after every
+    commit — inserts, updates and deletes included."""
+    base = create_table(
+        spark, str(tmp_path / "b"), DDL, partition_by=["lang"]
+    )
+    base.append(_rows(spark, 8))  # v0 (first commit is version 0)
+    agg_ddl = "lang string, cnt bigint, total bigint"
+    agg = create_table(spark, str(tmp_path / "a"), agg_ddl)
+    agg.append(
+        base.read().groupBy("lang").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("n").alias("total")
+        )
+    )
+
+    def maintain(from_v, to_v):
+        delta = (
+            base.changelog(from_v, to_v)
+            .groupBy("lang")
+            .agg(
+                F.sum("_change").alias("cnt"),
+                F.sum(F.col("n") * F.col("_change")).alias("total"),
+            )
+        )
+        agg.merge_into(
+            delta, ["lang"],
+            update_exprs={
+                "cnt": "t.cnt + s.cnt", "total": "t.total + s.total"
+            },
+        )
+
+    def recomputed():
+        return {
+            r["lang"]: (r["cnt"], r["total"])
+            for r in base.read().groupBy("lang").agg(
+                F.count(F.lit(1)).alias("cnt"), F.sum("n").alias("total")
+            ).collect()
+        }
+
+    def materialized():
+        return {
+            r["lang"]: (r["cnt"], r["total"])
+            for r in agg.read().filter(F.col("cnt") != 0).collect()
+        }
+
+    # commit 1: upsert (u1 grows, u20 arrives in a NEW lang value)
+    base.merge_into(
+        spark.createDataFrame(
+            [("u1", None, "de", 500), ("u20", None, "fr", 20)], DDL
+        ),
+        ["url"],
+    )
+    maintain(0, 1)
+    assert materialized() == recomputed()
+    # commit 2: delete all of lang fr -> its rollup row nets to cnt 0
+    base.merge_into(
+        spark.createDataFrame([("u20", None, "fr", 0)], DDL),
+        ["url"], when_matched="delete",
+    )
+    maintain(1, 2)
+    assert materialized() == recomputed()
+    assert {
+        r["lang"]: r["cnt"] for r in agg.read().collect()
+    }["fr"] == 0  # netted out, sweepable by a delete-merge
+
+
+def test_rewrite_clustered_prunes_range_scans(spark, tmp_path):
+    """Sort-order rewrite + footer-stats data skipping: after
+    clustering on n, a narrow range scan OPENS only the overlapping
+    files and returns exactly what a full-scan filter returns."""
+    ddl = "url string, warc_ts timestamp_ntz, lang string, n bigint"
+    t = create_table(spark, str(tmp_path / "t"), ddl)
+    rows = spark.createDataFrame(
+        [(f"u{i}", None, ["en", "de"][i % 2], (i * 7919) % 10000)
+         for i in range(5000)],
+        ddl,
+    )
+    t.append(rows)
+    nfiles = t.rewrite_clustered(["n"], target_files=8)
+    assert nfiles == 8
+    # every file now has a usable envelope
+    stats = t.file_column_stats("n")
+    assert all(mn is not None and mx is not None for _, mn, mx in stats)
+    kept = t.files_between("n", 100, 200)
+    assert 0 < len(kept) < nfiles  # genuinely pruned
+    got = sorted(r["url"] for r in t.read_between("n", 100, 200).collect())
+    want = sorted(
+        r["url"]
+        for r in t.read().filter(F.col("n").between(100, 200)).collect()
+    )
+    assert got == want and len(got) > 0
+    # empty range -> zero files opened, empty result, schema intact
+    assert t.files_between("n", 100000, 200000) == []
+    assert t.read_between("n", 100000, 200000).count() == 0
+
+
+def test_read_between_fail_open_on_unclustered(spark, tmp_path):
+    """Without clustering the envelopes straddle the range: pruning may
+    keep everything, but results are still exact (fail open)."""
+    ddl = "url string, warc_ts timestamp_ntz, lang string, n bigint"
+    t = create_table(spark, str(tmp_path / "t"), ddl, partition_by=["lang"])
+    t.append(_rows(spark, 200))
+    got = sorted(r["n"] for r in t.read_between("n", 10, 20).collect())
+    assert got == list(range(10, 21))
+    with pytest.raises(ValueError, match="partition column"):
+        t.files_between("lang", "a", "z")
