@@ -636,6 +636,85 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET (CommonCrawl text archive) source round trip (sources/wet.py,
+    round 6): serialize the documents table into WARC/1.0 conversion
+    records with a single JVM concat (wet_record_col), write as raw
+    text, re-read with the record-delimiter split + codegen'd header
+    parse (read_wet — no Python anywhere), and return the parsed rows.
+    The oracle replays the planted headers directly from documents —
+    parse(serialize(x)) == x, including Content-Length audit
+    (length_ok) and interior newlines in payloads."""
+    import os
+    import tempfile
+
+    from statefulstreamprocessor_spark.sources.wet import (
+        read_wet,
+        wet_record_col,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    date = F.concat(
+        F.lit("2024-05-0"),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("T00:00:00Z"),
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0\r\n"), wet_record_col(url, date, F.col("text"))
+    )
+    tmp = tempfile.mkdtemp(prefix="ssp_wet_gate_")
+    out_dir = os.path.join(tmp, "wet")
+    docs.select(rec.alias("value")).write.mode("overwrite").text(out_dir)
+    return read_wet(spark, out_dir)
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer text hygiene (functions/textops.py:
+    normalize_text_cols, round 6): CR/CRLF folding + control/zero-width
+    strip (JVM regexp_replace, codegen'd) + Unicode NFC (Arrow UDF with
+    an isascii fast path), plus the U+FFFD mojibake tracer and the
+    removed-chars audit counter. The construction PLANTS the dirt
+    deterministically per doc_id — zero-width space, a combining accent
+    (NFC must compose it), C0 controls, CR/CRLF, a replacement char,
+    NULLs — and the oracle replays the identical plant + nfc_normalize
+    + the same RE2 classes, so every branch is exercised, not just the
+    clean-ASCII path."""
+    from statefulstreamprocessor_spark.functions.textops import (
+        normalize_text_cols,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = F.when(did % 37 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(
+            F.col("text"),
+            F.when(did % 4 == 0, F.lit("\u200bz")).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0, F.lit(" cafe\u0301")  # NFC composes to caf\xe9
+            ).otherwise(F.lit("")),
+            F.when(did % 7 == 0, F.lit("\x01x\x02")).otherwise(F.lit("")),
+            F.when(did % 6 == 0, F.lit("a\r\nb\rc")).otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.lit("\ufffd")).otherwise(F.lit("")),
+        )
+    )
+    cols = normalize_text_cols(seeded)
+    return docs.select(
+        "doc_id",
+        cols["text_norm"].alias("text_norm"),
+        # string-cast so the gate's pandas canonicalization sees None
+        # (DuckDB's .df() renders null BOOLEANs as NaN, null strings as
+        # None — only the string form round-trips NULL faithfully)
+        cols["had_mojibake"].cast("string").alias("had_mojibake"),
+        cols["n_controls_removed"].alias("n_controls_removed"),
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction stage (emails then phones) with audit counts. PII is
     planted deterministically from doc_id so the oracle rebuilds the exact
@@ -1458,25 +1537,17 @@ def q_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read_between("event_id", 100, 400)
 
 
-def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-step snapshot time travel under the gate (S10 admin, round
-    6): a lang-partitioned table retains THREE snapshots
-    (sources/tables.py:read_version) — v0 the base load, v1 after an
-    upsert merge, v2 after a delete merge — and every retained version
-    must read back exactly. Returns the three versions unioned with a
-    ``snap`` tag; the oracle replays each state declaratively. The
-    merges are file-level copy-on-write, so v2 shares untouched files
-    with v1 and v0 by reference (hard links) — the read-back equality
-    proves the carried files are intact."""
+def _scd2_gate_table(spark: SparkSession, sf_dir: str, tmp: str):
+    """Shared construction for the SCD2 gates: the time-travel table
+    shape (v0 base load, v1 upsert+insert merge, v2 delete merge) with
+    three retained snapshots."""
     import os
-    import tempfile
 
     from statefulstreamprocessor_spark.sources.tables import create_table
 
     docs = _load(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
-    tmp = tempfile.mkdtemp(prefix="ssp_travel_gate_")
     t = create_table(
         spark,
         os.path.join(tmp, "t"),
@@ -1499,6 +1570,65 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["doc_id"],
         when_matched="delete",
     )                                                        # v2
+    return t
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history from the versioned table (S10 admin +
+    operators/scd2.py, round 6): collapse the three retained snapshots
+    (insert at v0, upsert+insert at v1, delete at v2) into maximal
+    constant-attribute version ranges — per-key window over <=
+    n_retained rows (never the data), then one map-side-combinable
+    run aggregation. The oracle replays the snapshots declaratively and
+    runs the same gaps-and-islands in SQL (lag + IS DISTINCT FROM +
+    running break sum)."""
+    import tempfile
+
+    from statefulstreamprocessor_spark.operators.scd2 import scd2_history
+
+    tmp = tempfile.mkdtemp(prefix="ssp_scd2_gate_")
+    t = _scd2_gate_table(spark, sf_dir, tmp)
+    return scd2_history(t.history(), ["doc_id"], current_version=2)
+
+
+def q_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (version-travel) enrichment (operators/scd2.py, round
+    6): facts stamped with a load version join to the dimension
+    attributes current AT that version — hash equi-join on the key with
+    the disjoint version-range predicate as a post-join filter. The
+    oracle needs no islands at all: the attributes valid at version v
+    ARE the replayed snapshot v, so a plain LEFT JOIN on
+    (key, version) is the independent ground truth."""
+    import tempfile
+
+    from statefulstreamprocessor_spark.operators.scd2 import (
+        scd2_enrich,
+        scd2_history,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ssp_scd2e_gate_")
+    t = _scd2_gate_table(spark, sf_dir, tmp)
+    hist = scd2_history(t.history(), ["doc_id"], current_version=2)
+    facts = _load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 3).cast("bigint").alias("at")
+    )
+    return scd2_enrich(facts, hist, ["doc_id"], "at")
+
+
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-step snapshot time travel under the gate (S10 admin, round
+    6): a lang-partitioned table retains THREE snapshots
+    (sources/tables.py:read_version) — v0 the base load, v1 after an
+    upsert merge, v2 after a delete merge — and every retained version
+    must read back exactly. Returns the three versions unioned with a
+    ``snap`` tag; the oracle replays each state declaratively. The
+    merges are file-level copy-on-write, so v2 shares untouched files
+    with v1 and v0 by reference (hard links) — the read-back equality
+    proves the carried files are intact."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ssp_travel_gate_")
+    t = _scd2_gate_table(spark, sf_dir, tmp)
     out = None
     for v in (0, 1, 2):
         part = t.read_version(v).select(
@@ -2877,6 +3007,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup": q_incremental_rollup,
         "clustered_scan": q_clustered_scan,
         "streaming_quota": q_streaming_quota,
+        "scd2_history": q_scd2_history,
+        "scd2_enrich": q_scd2_enrich,
+        "normalize_text": q_normalize_text,
+        "wet_roundtrip": q_wet_roundtrip,
         # flagship
         "nn_pair_join": q_nn_pair_join,
         # r05-recorded, untouched — fills the remaining recorded slots
@@ -4702,6 +4836,136 @@ def oracle_sql() -> dict[str, str]:
     d["clustered_scan"] = """
         SELECT event_id, user_id, event_type, value
         FROM events WHERE event_id BETWEEN 100 AND 400
+    """
+    # WET round trip: parse(serialize(x)) == x — the oracle replays the
+    # planted headers straight from documents (strlen = UTF-8 octets,
+    # matching the writer's Content-Length)
+    d["wet_roundtrip"] = """
+        SELECT 'conversion' AS warc_type,
+               'https://' || source || '.example.com/p/' || doc_id AS url,
+               '2024-05-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+                   || 'T00:00:00Z' AS warc_date,
+               CAST(strlen(text) AS BIGINT) AS content_length,
+               text,
+               TRUE AS length_ok
+        FROM documents
+    """
+    # text normalization: the oracle replays the identical deterministic
+    # dirt plant (zero-width space, combining accent, C0 controls,
+    # CR/CRLF, U+FFFD, NULLs), then nfc_normalize + the same two RE2
+    # regexp_replace calls — NFC is UAX #15, so utf8proc and Python
+    # unicodedata agree by spec
+    d["normalize_text"] = """
+        WITH seeded AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 37 = 0 THEN NULL
+                        ELSE text
+                          || CASE WHEN doc_id % 4 = 0
+                                  THEN chr(8203) || 'z' ELSE '' END
+                          || CASE WHEN doc_id % 5 = 0
+                                  THEN ' cafe' || chr(769) ELSE '' END
+                          || CASE WHEN doc_id % 7 = 0
+                                  THEN chr(1) || 'x' || chr(2) ELSE '' END
+                          || CASE WHEN doc_id % 6 = 0
+                                  THEN 'a' || chr(13) || chr(10) || 'b'
+                                       || chr(13) || 'c' ELSE '' END
+                          || CASE WHEN doc_id % 11 = 0
+                                  THEN chr(65533) ELSE '' END
+                   END AS t
+            FROM documents
+        ), folded AS (
+            SELECT doc_id, t,
+                   regexp_replace(t, '\\r\\n|\\r', chr(10), 'g') AS f
+            FROM seeded
+        ), stripped AS (
+            SELECT doc_id, t, f,
+                   regexp_replace(
+                       f,
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F' ||
+                       '\\x{200B}-\\x{200D}\\x{FEFF}]',
+                       '', 'g') AS s
+            FROM folded
+        )
+        SELECT doc_id,
+               nfc_normalize(s) AS text_norm,
+               CASE WHEN t IS NULL THEN NULL
+                    ELSE CAST(contains(t, chr(65533)) AS VARCHAR)
+               END AS had_mojibake,
+               length(f) - length(s) AS n_controls_removed
+        FROM stripped
+    """
+    # SCD2 history: replay the three snapshots declaratively, then the
+    # same gaps-and-islands (lag + IS DISTINCT FROM + running break sum)
+    # in SQL — attrs are constant within a run, so min() recovers them
+    d["scd2_history"] = """
+        WITH v0 AS (
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id % 3 != 0
+        ), v1 AS (
+            SELECT doc_id, lang, source, n_chars FROM v0
+            WHERE doc_id % 6 != 1
+            UNION ALL
+            SELECT doc_id, lang, source, n_chars + 500 FROM documents
+            WHERE doc_id % 6 = 1
+            UNION ALL
+            SELECT doc_id, lang, source, CAST(-1 AS BIGINT) FROM documents
+            WHERE doc_id % 9 = 0
+        ), v2 AS (
+            SELECT * FROM v1 WHERE doc_id % 5 != 0
+        ), u AS (
+            SELECT CAST(0 AS BIGINT) AS v, * FROM v0
+            UNION ALL SELECT 1, * FROM v1
+            UNION ALL SELECT 2, * FROM v2
+        ), m AS (
+            SELECT *,
+                   CASE WHEN lag(v) OVER w IS NULL
+                          OR lag(v) OVER w != v - 1
+                          OR lag(lang) OVER w IS DISTINCT FROM lang
+                          OR lag(source) OVER w IS DISTINCT FROM source
+                          OR lag(n_chars) OVER w IS DISTINCT FROM n_chars
+                        THEN 1 ELSE 0 END AS brk
+            FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY v)
+        ), r AS (
+            SELECT *, sum(brk) OVER (
+                PARTITION BY doc_id ORDER BY v ROWS UNBOUNDED PRECEDING
+            ) AS run FROM m
+        )
+        SELECT doc_id, min(lang) AS lang, min(source) AS source,
+               min(n_chars) AS n_chars,
+               min(v) AS valid_from, max(v) AS valid_to,
+               (max(v) = 2) AS is_current
+        FROM r GROUP BY doc_id, run
+    """
+    # SCD2 enrichment: the attributes valid at version v ARE snapshot v,
+    # so a plain LEFT JOIN on (key, version) is the independent ground
+    # truth — no islands needed
+    d["scd2_enrich"] = """
+        WITH v0 AS (
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id % 3 != 0
+        ), v1 AS (
+            SELECT doc_id, lang, source, n_chars FROM v0
+            WHERE doc_id % 6 != 1
+            UNION ALL
+            SELECT doc_id, lang, source, n_chars + 500 FROM documents
+            WHERE doc_id % 6 = 1
+            UNION ALL
+            SELECT doc_id, lang, source, CAST(-1 AS BIGINT) FROM documents
+            WHERE doc_id % 9 = 0
+        ), v2 AS (
+            SELECT * FROM v1 WHERE doc_id % 5 != 0
+        ), u AS (
+            SELECT CAST(0 AS BIGINT) AS v, * FROM v0
+            UNION ALL SELECT 1, * FROM v1
+            UNION ALL SELECT 2, * FROM v2
+        ), facts AS (
+            SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS at
+            FROM documents
+        )
+        SELECT f.doc_id, f.at,
+               u.lang AS dim_lang, u.source AS dim_source,
+               u.n_chars AS dim_n_chars
+        FROM facts f LEFT JOIN u ON u.doc_id = f.doc_id AND u.v = f.at
     """
     # multi-step time travel: each retained snapshot replayed
     # declaratively — v0 the base load, v1 after the upsert merge, v2

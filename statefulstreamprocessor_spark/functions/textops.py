@@ -36,6 +36,8 @@ __all__ = [
     "winnow_fingerprints_udf",
     "gopher_verdict_cols",
     "compression_ratio_udf",
+    "normalize_text_cols",
+    "CONTROL_CHAR_CLASS",
 ]
 
 _SCRIPT_RE = re.compile(rb"<(script|style)\b.*?</\1>", re.S | re.I)
@@ -351,3 +353,66 @@ def compression_ratio_udf(level: int = 6):
         return text.map(one)
 
     return ratio
+
+
+# C0 controls (minus \t \n; \r is handled as a newline first), DEL + C1,
+# zero-width space/joiners, BOM-as-ZWNBSP — the characters a web-crawl
+# extractor leaks into text that no tokenizer should ever see. Kept as a
+# module constant so the DuckDB oracle can assert it spells the same
+# class in RE2 syntax (tests pin the translation).
+CONTROL_CHAR_CLASS = (
+    "[\u0000-\u0008\u000B\u000C\u000E-\u001F\u007F-\u009F"
+    "\u200B-\u200D\uFEFF]"
+)
+
+
+def normalize_text_cols(text_col):
+    """Webtext normalization bundle (C4/CCNet-style pre-tokenizer
+    hygiene) as mostly-JVM column expressions:
+
+    - ``text_norm``: CRLF/CR folded to LF, then the
+      :data:`CONTROL_CHAR_CLASS` stripped (both ``regexp_replace``,
+      codegen'd), then Unicode NFC composition — the only Python step,
+      an Arrow-batched UDF with an ``isascii()`` fast path (ASCII is
+      NFC-invariant, and most webtext bytes are ASCII, so the
+      interpreter touches only the rows that can change).
+    - ``had_mojibake``: U+FFFD replacement character present in the
+      ORIGINAL text — the decode-failure tracer (detection only;
+      "repairing" mojibake is guesswork and silently corrupts text that
+      legitimately discusses it).
+    - ``n_controls_removed``: how many characters the control strip
+      dropped (original length minus post-strip length, newline folding
+      excluded) — the audit counter for pipeline dashboards.
+
+    NULL text stays NULL in every output (nothing to normalize; the
+    quality gate decides what NULL means — gopher_verdict_cols fails it
+    closed).
+
+    Oracle parity: DuckDB replays this exactly as ``nfc_normalize`` +
+    the same two RE2 ``regexp_replace`` calls — NFC is UAX #15, not an
+    implementation detail, so Python ``unicodedata`` and DuckDB/utf8proc
+    agree by spec.
+    """
+    import unicodedata
+
+    folded = F.regexp_replace(text_col, "\r\n|\r", "\n")
+    stripped = F.regexp_replace(folded, CONTROL_CHAR_CLASS, "")
+
+    @F.pandas_udf("string")
+    def nfc(text: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            if t.isascii():  # NFC-invariant: skip the normalizer
+                return t
+            return unicodedata.normalize("NFC", t)
+
+        return text.map(one)
+
+    return {
+        "text_norm": nfc(stripped),
+        "had_mojibake": F.when(
+            text_col.isNotNull(), F.contains(text_col, F.lit("�"))
+        ),
+        "n_controls_removed": F.length(folded) - F.length(stripped),
+    }

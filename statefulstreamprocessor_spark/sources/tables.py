@@ -310,6 +310,27 @@ class TableHandle:
             )
         return self._read_snapshot_dir(best["data_dir"])
 
+    def history(self) -> DataFrame:
+        """Union of every retained snapshot, each row tagged with its
+        snapshot version in ``_version`` (bigint) — the versioned feed
+        :func:`..operators.scd2.scd2_history` collapses into SCD2
+        ranges. One scan per retained snapshot (retention is a small
+        admin knob), no shuffle here; downstream ops decide their own
+        exchanges. Raises if the input already carries a ``_version``
+        column."""
+        schema = self.spark.createDataFrame([], self.schema_ddl).schema
+        if "_version" in {f.name for f in schema.fields}:
+            raise ValueError("table already has a _version column")
+        if not self.snapshots:
+            raise ValueError("no retained snapshots")
+        out = None
+        for s in self.snapshots:
+            part = self._read_snapshot_dir(s["data_dir"]).withColumn(
+                "_version", F.lit(int(s["version"])).cast("bigint")
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
     # ------------------------------------------------------ schema change
     def add_column(self, name: str, dtype: str) -> None:
         """Iceberg-style additive schema evolution: a METADATA-ONLY

@@ -1,6 +1,7 @@
 """Edge cases for the canonical extractor and text analysis functions."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from statefulstreamprocessor_spark.functions.textops import (
     extract_text,
@@ -447,3 +448,66 @@ def test_compression_ratio_udf(spark):
             assert got[i] == round(len(zlib.compress(b, 6)) / len(b), 6), i
     # the redundancy signal: boilerplate compresses far better
     assert got[1] < got[0] * 0.5, (got[0], got[1])
+
+
+def test_normalize_text_cols(spark):
+    import unicodedata
+
+    from statefulstreamprocessor_spark.functions.textops import (
+        normalize_text_cols,
+    )
+
+    rows = [
+        (0, "plain ascii"),
+        (1, "zero\u200bwidth\u200c\u200d joined\ufeff"),
+        (2, "café combining"),          # NFC composes
+        (3, "ctrl\x01\x02\x03 chars\x7f\x9f"),
+        (4, "a\r\nb\rc\nd"),                  # newline folding, no loss
+        (5, "moji\ufffdbake"),
+        (6, None),
+        (7, ""),
+        (8, "keep \t tab \n newline"),        # \t \n survive the strip
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    cols = normalize_text_cols(F.col("t"))
+    got = {
+        r["id"]: (r["n"], r["m"], r["c"])
+        for r in df.select(
+            "id",
+            cols["text_norm"].alias("n"),
+            cols["had_mojibake"].alias("m"),
+            cols["n_controls_removed"].alias("c"),
+        ).collect()
+    }
+    assert got[0] == ("plain ascii", False, 0)
+    assert got[1] == ("zerowidth joined", False, 4)
+    assert got[2] == (
+        unicodedata.normalize("NFC", "café combining"), False, 0
+    )
+    assert "\u0301" not in got[2][0] and "caf\xe9" in got[2][0]
+    assert got[3] == ("ctrl chars", False, 5)
+    assert got[4] == ("a\nb\nc\nd", False, 0)   # folding is not "removed"
+    assert got[5] == ("moji\ufffdbake", True, 0)  # FFFD is NOT stripped
+    assert got[6] == (None, None, None)
+    assert got[7] == ("", False, 0)
+    assert got[8] == ("keep \t tab \n newline", False, 0)
+
+
+def test_control_char_class_matches_re2_spelling():
+    """The DuckDB oracle spells CONTROL_CHAR_CLASS in RE2 \\x{...}
+    syntax; pin the two spellings to the same codepoint set."""
+    import re
+
+    from statefulstreamprocessor_spark.functions.textops import (
+        CONTROL_CHAR_CLASS,
+    )
+
+    probe = set(range(0x2100)) | {0xFEFF, 0xFFFD, 0x10000}
+    java_set = {
+        cp for cp in probe if re.match(CONTROL_CHAR_CLASS, chr(cp))
+    }
+    re2_set = (
+        set(range(0x00, 0x09)) | {0x0B, 0x0C} | set(range(0x0E, 0x20))
+        | set(range(0x7F, 0xA0)) | set(range(0x200B, 0x200E)) | {0xFEFF}
+    )
+    assert java_set == re2_set
