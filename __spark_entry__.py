@@ -636,6 +636,33 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection (operators/stats.py, round 6):
+    each click scored against its series' preceding 20 observations via
+    exact DECIMAL(38,0) rolling sums — z = (n·y − S)/sqrt(n·Q − S²) is
+    one fixed-shape double computation from integer sums, so Spark's
+    incremental frame accumulation and DuckDB's segment tree cannot
+    diverge in the last ulps (the module's group_trend discipline).
+    Unscoreable rows (short frame / zero variance) keep NULL — not
+    silently "normal"."""
+    from statefulstreamprocessor_spark.operators.stats import (
+        rolling_zscore,
+    )
+
+    ev = _load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    out = rolling_zscore(
+        ev, "user_id", "ts", "event_id", "value",
+        window_rows=20, min_obs=5, threshold=2.5,
+    )
+    # string-cast the nullable boolean: DuckDB's .df() renders null
+    # BOOLEANs as NaN, null strings as None (the had_mojibake pitfall)
+    return out.withColumn(
+        "is_anomaly", F.col("is_anomaly").cast("string")
+    )
+
+
 def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET (CommonCrawl text archive) source round trip (sources/wet.py,
     round 6): serialize the documents table into WARC/1.0 conversion
@@ -3011,6 +3038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_enrich": q_scd2_enrich,
         "normalize_text": q_normalize_text,
         "wet_roundtrip": q_wet_roundtrip,
+        "rolling_zscore": q_rolling_zscore,
         # flagship
         "nn_pair_join": q_nn_pair_join,
         # r05-recorded, untouched — fills the remaining recorded slots
@@ -4836,6 +4864,39 @@ def oracle_sql() -> dict[str, str]:
     d["clustered_scan"] = """
         SELECT event_id, user_id, event_type, value
         FROM events WHERE event_id BETWEEN 100 AND 400
+    """
+    # rolling z-score: identical exact-integer window sums in HUGEINT,
+    # identical one-shot double conversion/sqrt/division — bit-equal by
+    # IEEE; the boolean goes through VARCHAR for NULL fidelity
+    d["rolling_zscore"] = """
+        WITH b AS (
+            SELECT user_id AS key, ts, event_id AS id, value,
+                   CAST(round(value * 1e6) AS BIGINT) AS y
+            FROM events WHERE event_type = 'click'
+        ), f AS (
+            SELECT key, ts, id, value, y,
+                   CAST(count(*) OVER w AS BIGINT) AS n_obs,
+                   sum(CAST(y AS HUGEINT)) OVER w AS s,
+                   sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) OVER w
+                       AS q
+            FROM b
+            WINDOW w AS (
+                PARTITION BY key ORDER BY ts, id
+                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+            )
+        ), z AS (
+            SELECT key, ts, id, value, n_obs,
+                   CASE WHEN n_obs >= 5 AND n_obs * q - s * s > 0
+                        THEN round(
+                            CAST(n_obs * y - s AS DOUBLE)
+                            / sqrt(CAST(n_obs * q - s * s AS DOUBLE)), 6)
+                   END AS z
+            FROM f
+        )
+        SELECT key, ts, id, value, n_obs, z,
+               CASE WHEN z IS NOT NULL
+                    THEN CAST(abs(z) >= 2.5 AS VARCHAR) END AS is_anomaly
+        FROM z
     """
     # WET round trip: parse(serialize(x)) == x — the oracle replays the
     # planted headers straight from documents (strlen = UTF-8 octets,

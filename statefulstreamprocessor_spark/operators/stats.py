@@ -71,3 +71,99 @@ def group_trend(
             ).alias("slope"),
         )
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window_rows: int = 20,
+    min_obs: int = 5,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly detection per series — each observation
+    scored against the PRECEDING ``window_rows`` observations of its
+    series (the current row is excluded, so an outlier cannot mask
+    itself), in event-time order with ``id_col`` as the total-order
+    tie-break.
+
+    Cross-engine exactness (the module discipline): the rolling sums
+    run over micro-unit INTEGERS in DECIMAL(38,0) — frame membership is
+    deterministic (total order) and integer sums are
+    accumulation-order-independent, where double sums would differ in
+    the last ulps between Spark's incremental frame accumulation and
+    DuckDB's segment tree. The score is then computed in ONE fixed
+    shape from the exact sums:
+
+        z = (n·y − S) / sqrt(n·Q − S²)
+
+    (algebraically (y − mean)/σ_pop scaled by nothing — derived once
+    from σ_pop² = (nQ − S²)/n²), so both engines perform the identical
+    correctly-rounded double conversion, sqrt and division —
+    bit-identical by IEEE, then rounded to 6 dp.
+
+    Output: key | ts | id | value | n_obs | z (NULL when the frame
+    holds < ``min_obs`` rows or has zero variance) | is_anomaly
+    (|z| >= threshold; NULL when z is NULL — an unscoreable row is not
+    silently "normal"; filter on ``is_anomaly IS TRUE`` to alert, or
+    fail closed on NULL, the caller's policy).
+
+    Scale shape: ONE hash exchange on the series key; O(n) frame
+    passes. A single hot series serializes through one partition —
+    the banded decomposition (sessions/resample pattern) applies if a
+    corpus has one; per-url/domain series in webtext do not.
+    """
+    if window_rows < 1:
+        raise ValueError(f"window_rows must be >= 1, got {window_rows}")
+    if min_obs < 2:
+        raise ValueError(f"min_obs must be >= 2, got {min_obs}")
+    d = "decimal(38,0)"
+    yi = F.round(F.col(value_col) * 1e6).cast("bigint")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).alias("value"),
+        yi.alias("__y"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.col("ts"), F.col("id"))
+        .rowsBetween(-window_rows, -1)
+    )
+    scored = base.select(
+        "key",
+        "ts",
+        "id",
+        "value",
+        "__y",
+        F.count(F.lit(1)).over(w).alias("n_obs"),
+        F.sum(F.col("__y").cast(d)).over(w).alias("__s"),
+        F.sum(F.col("__y").cast(d) * F.col("__y").cast(d)).over(w).alias(
+            "__q"
+        ),
+    )
+    n = F.col("n_obs").cast(d)
+    num = n * F.col("__y").cast(d) - F.col("__s")
+    den2 = n * F.col("__q") - F.col("__s") * F.col("__s")
+    z = F.round(
+        num.cast("double")
+        / F.sqrt(den2.cast("double")),
+        6,
+    )
+    z = F.when(
+        (F.col("n_obs") >= min_obs) & (den2 > 0), z
+    )
+    return scored.select(
+        "key",
+        "ts",
+        "id",
+        "value",
+        "n_obs",
+        z.alias("z"),
+        F.when(z.isNotNull(), F.abs(z) >= F.lit(float(threshold))).alias(
+            "is_anomaly"
+        ),
+    )

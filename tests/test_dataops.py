@@ -1061,3 +1061,69 @@ def test_mixture_interleave_exact_and_fail_closed(spark):
     # scale shape: no shuffle anywhere — pure map-side codegen
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_rolling_zscore_matches_exact_python(spark):
+    """Randomized equality vs an exact-integer python oracle, plus the
+    NULL policy (short frame, zero variance) and tie-break order."""
+    import datetime
+    import math
+    import random
+
+    from statefulstreamprocessor_spark.operators.stats import rolling_zscore
+
+    rng = random.Random(42)
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for k in ("a", "b"):
+        for i in range(60):
+            v = rng.uniform(-5, 5) if k == "a" else 7.0  # b: zero variance
+            rows.append((k, t0 + datetime.timedelta(seconds=i), eid, v))
+            eid += 1
+    # same-ts tie: two events share a timestamp, id breaks the order
+    rows.append(("a", t0 + datetime.timedelta(seconds=3), eid, 99.0))
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp_ntz, event_id long, value double"
+    )
+    got = {
+        r["id"]: (r["n_obs"], r["z"], r["is_anomaly"])
+        for r in rolling_zscore(
+            df, "k", "ts", "event_id", "value",
+            window_rows=10, min_obs=4, threshold=2.0,
+        ).collect()
+    }
+    # python oracle with exact ints
+    by_key = {}
+    for k, ts, i, v in rows:
+        by_key.setdefault(k, []).append((ts, i, round(v * 1e6)))
+    expect = {}
+    for k, obs in by_key.items():
+        obs.sort()
+        for pos, (ts, i, y) in enumerate(obs):
+            frame = obs[max(0, pos - 10):pos]
+            n = len(frame)
+            s = sum(f[2] for f in frame)
+            q = sum(f[2] * f[2] for f in frame)
+            den2 = n * q - s * s
+            if n >= 4 and den2 > 0:
+                z = round((n * y - s) / math.sqrt(den2), 6)
+                expect[i] = (n, z, abs(z) >= 2.0)
+            else:
+                expect[i] = (n, None, None)
+    assert got == expect
+    # the planted outlier at a shared timestamp really flags
+    anomalous = [i for i, (_, z, a) in expect.items() if a]
+    assert len(anomalous) >= 1
+
+
+def test_rolling_zscore_args(spark):
+    from statefulstreamprocessor_spark.operators.stats import rolling_zscore
+
+    df = spark.createDataFrame(
+        [("a", 1, 1, 1.0)], "k string, ts long, event_id long, value double"
+    )
+    with pytest.raises(ValueError, match="window_rows"):
+        rolling_zscore(df, "k", "ts", "event_id", "value", window_rows=0)
+    with pytest.raises(ValueError, match="min_obs"):
+        rolling_zscore(df, "k", "ts", "event_id", "value", min_obs=1)
