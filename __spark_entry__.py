@@ -663,6 +663,78 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection as a CUSTOM STATEFUL STREAMING
+    operator (streaming/zscore.py — applyInPandasWithState, bucketed key
+    groups, watermark-sealed in-order scoring, per-key trailing-window
+    tail state), pinned to the SAME DuckDB oracle as the batch
+    q_rolling_zscore. The punctuation row (user -1, +2 h) advances the
+    watermark so every real row seals; the 90-day TTL keeps the eviction
+    path ON while leaving the output exactly the batch oracle's."""
+    import datetime
+    import os
+    import tempfile
+
+    from statefulstreamprocessor_spark.sources.staging import (
+        append_flush_file,
+        write_time_ordered_chunks,
+    )
+    from statefulstreamprocessor_spark.streaming.zscore import (
+        streaming_rolling_zscore,
+    )
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    tmp = tempfile.mkdtemp(prefix="ssp_strz_gate_")
+    in_dir = os.path.join(tmp, "input")
+    idx = write_time_ordered_chunks(ev, in_dir, n_files=3, ts_col="ts")
+    mx = ev.agg(F.max("ts").alias("m")).first()["m"]
+    flush = spark.createDataFrame(
+        [(-1, mx + datetime.timedelta(hours=2), -1, 0.0)],
+        "user_id bigint, ts timestamp_ntz, event_id bigint, value double",
+    )
+    append_flush_file(flush, in_dir, idx)
+    raw = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp_ntz, event_id bigint, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    stream = raw.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "value",
+    ).withWatermark("ts", "0 seconds")
+    out = streaming_rolling_zscore(
+        stream, ["user_id"], "ts", "event_id", "value",
+        window_rows=20, min_obs=5, threshold=2.5,
+        n_buckets=32, state_ttl=90 * 86400.0,
+    )
+    out_dir = os.path.join(tmp, "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(tmp, "checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(out_dir)
+    return res.filter(F.col("user_id") >= 0).select(
+        F.col("user_id").alias("key"),
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.col("event_id").alias("id"),
+        "value",
+        "n_obs",
+        "z",
+        F.col("is_anomaly").cast("string").alias("is_anomaly"),
+    )
+
+
 def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET (CommonCrawl text archive) source round trip (sources/wet.py,
     round 6): serialize the documents table into WARC/1.0 conversion
@@ -2142,6 +2214,36 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (operators/sampling.py, round 6):
+    every document inherits its near-duplicate CLUSTER's consistent-hash
+    split assignment — 90/5/5 by the 32-bit md5 prefix of the cluster id —
+    so near-duplicate pairs can never straddle the train/eval boundary.
+    The cluster column is the same connected-components labeling the
+    q:dedup_clusters gate pins; the oracle wraps that query's recursive
+    CTE in the identical hex-boundary CASE."""
+    from statefulstreamprocessor_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from statefulstreamprocessor_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.2, max_df=50,
+        min_input_partitions=spark.sparkContext.defaultParallelism,
+    )
+    clustered = connected_components(
+        docs.select("doc_id"), edges, "doc_id", "id_a", "id_b"
+    ).select(F.col("id").alias("doc_id"), "cluster_id")
+    return leakage_safe_split(
+        clustered, "cluster_id",
+        [("train", 0.90), ("val", 0.05), ("test", 0.05)], salt="r6",
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample: 20 docs per lang by md5(id) order."""
     from statefulstreamprocessor_spark.operators.sampling import (
@@ -3039,6 +3141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "wet_roundtrip": q_wet_roundtrip,
         "rolling_zscore": q_rolling_zscore,
+        "split_leakage_safe": q_split_leakage_safe,
+        "streaming_zscore": q_streaming_zscore,
         # flagship
         "nn_pair_join": q_nn_pair_join,
         # r05-recorded, untouched — fills the remaining recorded slots
@@ -5116,4 +5220,23 @@ def oracle_sql() -> dict[str, str]:
     # set exactly (id-ordered ingest — q_streaming_minhash docstring), so
     # it is pinned to the IDENTICAL all-pairs exact-Jaccard oracle
     d["streaming_minhash"] = d["minhash_lsh"]
+    # the streaming rolling z-score must reproduce the batch scoring
+    # exactly (watermark-sealed in-order scoring + trailing tail state ==
+    # the batch trailing frame; streaming/zscore.py docstring), so it is
+    # pinned to the IDENTICAL exact-integer-sums oracle
+    d["streaming_zscore"] = d["rolling_zscore"]
+    # leakage-safe split: the SAME recursive-CTE clustering as
+    # dedup_clusters, wrapped in the identical 32-bit md5-prefix hex
+    # boundaries the operator derives from (0.90, 0.05, 0.05) — fixed-width
+    # lowercase hex compares lexicographically identically to its value
+    d["split_leakage_safe"] = (
+        "SELECT doc_id, cluster_id, CASE "
+        "WHEN substring(md5(CAST(cluster_id AS VARCHAR) || 'r6'), 1, 8) "
+        "     < 'e6666665' THEN 'train' "
+        "WHEN substring(md5(CAST(cluster_id AS VARCHAR) || 'r6'), 1, 8) "
+        "     < 'f3333332' THEN 'val' "
+        "ELSE 'test' END AS split FROM ("
+        + d["dedup_clusters"]
+        + ")"
+    )
     return d

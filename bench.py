@@ -514,6 +514,12 @@ def run_scaling(extra: dict) -> None:
                 return
             break
         draws.append(_certify(best))
+        print(
+            f"[scaling] draw {i + 1}/{n_draws}: "
+            f"efficiency={draws[-1]['efficiency']} "
+            f"quality={draws[-1]['window_quality']!r}",
+            file=sys.stderr, flush=True,
+        )
         if (
             draws[-1]["window_quality"] == "clean"
             and draws[-1]["efficiency"] >= target

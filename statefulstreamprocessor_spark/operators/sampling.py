@@ -18,6 +18,7 @@ __all__ = [
     "stratified_topk_sample",
     "hash_fraction_sample",
     "quantile_bucket_sample",
+    "leakage_safe_split",
 ]
 
 
@@ -154,3 +155,56 @@ def hash_fraction_sample(
     snapshot (unlike rand()-based sampling)."""
     bucket = F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8), 16, 10).cast("long")
     return df.filter(bucket < F.lit(int(fraction * 0xFFFFFFFF)))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    cluster_col: str,
+    splits: list[tuple[str, float]],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row a train/val/test split by consistent-hashing its
+    near-duplicate CLUSTER id — every member of a cluster lands in the
+    same split, so near-duplicates never straddle the train/eval boundary
+    (the contamination the dedup pipeline exists to prevent would
+    otherwise re-enter through the splitter; composing this with
+    ``connected_components`` output is the intended use).
+
+    ``splits``: ordered (name, fraction) pairs, fractions summing to 1.
+    Assignment: the 32-bit prefix of md5(cluster ∥ salt) falls into
+    consecutive fraction-sized ranges of the hash space — a pure function
+    of the data (re-runs, retries, incremental corpus extensions keep
+    every existing row's split; only genuinely new clusters draw new
+    assignments). Cross-engine exact: fixed-width lowercase hex compares
+    lexicographically identically to its numeric value, so the oracle is
+    a CASE over the same md5 prefix against the same hex boundaries.
+
+    Scale shape: zero exchanges — one scalar hash expression per row on
+    top of whatever produced the cluster column. The splitter itself is
+    free at any corpus size.
+    """
+    if not splits:
+        raise ValueError("splits must be a non-empty list of (name, frac)")
+    fracs = [f for _, f in splits]
+    if any(f <= 0 for f in fracs):
+        raise ValueError(f"split fractions must be positive, got {fracs}")
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {sum(fracs)}")
+    names = [n for n, _ in splits]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate split names: {names}")
+    prefix = F.substring(
+        F.md5(F.concat(F.col(cluster_col).cast("string"), F.lit(salt))), 1, 8
+    )
+    # cumulative upper boundaries as fixed-width hex strings; the last
+    # split takes everything remaining (no float-edge row can fall out)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    bounds = []
+    for _, f in splits[:-1]:
+        cum += f
+        bounds.append(format(int(cum * 0xFFFFFFFF), "08x"))
+    for name, b in zip(reversed(names[:-1]), reversed(bounds)):
+        expr = F.when(prefix < F.lit(b), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

@@ -1127,3 +1127,53 @@ def test_rolling_zscore_args(spark):
         rolling_zscore(df, "k", "ts", "event_id", "value", window_rows=0)
     with pytest.raises(ValueError, match="min_obs"):
         rolling_zscore(df, "k", "ts", "event_id", "value", min_obs=1)
+
+
+def test_leakage_safe_split_cluster_coherent(spark):
+    """All members of a cluster share one split; fractions are the hash
+    boundaries' (deterministic md5, so exactly reproducible); argument
+    validation fails loud."""
+    from statefulstreamprocessor_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    rows = [(i, i % 97) for i in range(1000)]  # 97 clusters, ragged sizes
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    out = leakage_safe_split(
+        df, "cluster_id",
+        [("train", 0.90), ("val", 0.05), ("test", 0.05)], salt="t",
+    ).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # python-side md5 oracle: identical assignment
+    import hashlib
+    b90, b95 = format(int(0.90 * 0xFFFFFFFF), "08x"), format(
+        int(0.95 * 0xFFFFFFFF), "08x"
+    )
+    for c, s in by_cluster.items():
+        h = hashlib.md5(f"{c}t".encode()).hexdigest()[:8]
+        want = "train" if h < b90 else ("val" if h < b95 else "test")
+        assert s == {want}, (c, h, s, want)
+    # rerun == identical (pure function of the data)
+    again = leakage_safe_split(
+        df, "cluster_id",
+        [("train", 0.90), ("val", 0.05), ("test", 0.05)], salt="t",
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # no exchange: the splitter is a scalar expression
+    plan = (
+        leakage_safe_split(df, "cluster_id", [("all", 1.0)])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(df, "cluster_id", [("a", 0.5), ("b", 0.4)])
+    with pytest.raises(ValueError, match="positive"):
+        leakage_safe_split(df, "cluster_id", [("a", 1.5), ("b", -0.5)])
+    with pytest.raises(ValueError, match="duplicate"):
+        leakage_safe_split(df, "cluster_id", [("a", 0.5), ("a", 0.5)])
+    with pytest.raises(ValueError, match="non-empty"):
+        leakage_safe_split(df, "cluster_id", [])
