@@ -3086,9 +3086,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every query whose code changed THIS round (the as-of family's
     # deterministic tie-break, streaming sessionize/asof state hygiene +
     # object-space carry, table_merge's file-level copy-on-write), the
-    # two round-6 additions (time_travel, compact_latest), and the
-    # flagship. Multiply-green untouched queries (recorded in r05) fill
-    # the rest and spill past position 50.
+    # 18 round-6 additions (time_travel … streaming_zscore). That fills
+    # all 50 slots exactly; the flagship nn_pair_join (unchanged,
+    # r05-recorded green, and smoke-run every round via entry()) is the
+    # first spill, followed by the other multiply-green untouched
+    # queries recorded in r05.
     qs = {
         # round-5-unrecorded, nn_pair_join_streaming first (r05-changed)
         "nn_pair_join_streaming": q_nn_pair_join_streaming,

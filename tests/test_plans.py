@@ -293,3 +293,19 @@ def test_compact_latest_by_key_plan_no_window(spark, events):
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
     assert len(exchanges) == 1, plan
     assert "partial_max" in plan, plan
+
+
+def test_rolling_zscore_plan_single_exchange(spark, events):
+    """rolling_zscore: ONE hash exchange on the series key; frames are
+    trailing rows-frames (no shrinking unboundedFollowing processor);
+    no join nodes anywhere."""
+    from statefulstreamprocessor_spark.operators.stats import rolling_zscore
+
+    df = events.select("user_id", "ts", "event_id", "value")
+    plan = _plan(
+        rolling_zscore(df, "user_id", "ts", "event_id", "value")
+    )
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 1, plan
+    assert "unboundedfollowing" not in plan.lower()
+    assert "Join" not in plan, plan
