@@ -1603,8 +1603,16 @@ def q_streaming_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     res = spark.read.parquet(out_dir)
+    # cast the sink's with-tz timestamps back to NTZ (identity on the
+    # wall-time under any session tz): raw TIMESTAMP columns render via
+    # the DRIVER tz at collect, not the session tz — the round-5 basis
+    # pitfall; caught by the round-6 America/New_York sweep
     return res.filter(F.col("user_id") >= 0).select(
-        "user_id", "ts", "event_id", "window_start", "admitted"
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "event_id",
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "admitted",
     )
 
 
