@@ -504,8 +504,23 @@ def run_scaling(extra: dict) -> None:
     # the spread check can't see) keeps drawing; the recorded entry is
     # the best CLEAN draw of everything taken, with all draws in the JSON
     target = float(os.environ.get("SPARK_GRAFT_SCALE_TARGET", "0.8"))
+    # wall-clock budget for the whole redraw loop: on a slow host a
+    # single draw can stretch past 10 min, and an unbounded 3-draw loop
+    # would risk the per-round bench run itself timing out — a missing
+    # BENCH JSON is strictly worse than a degraded-tagged draw. A redraw
+    # only starts while the budget has room; the draw in flight always
+    # completes and records.
+    budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "1500"))
+    t_loop0 = time.monotonic()
     draws: list[dict] = []
     for i in range(n_draws):
+        if i and time.monotonic() - t_loop0 > budget_s:
+            print(
+                f"[scaling] redraw budget exhausted after {i} draw(s) "
+                f"({budget_s:.0f}s) — recording best so far",
+                file=sys.stderr, flush=True,
+            )
+            break
         if i and pause > 0:
             time.sleep(pause)
         best = _measure_once()
