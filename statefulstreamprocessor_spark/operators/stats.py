@@ -105,7 +105,10 @@ def rolling_zscore(
     bit-identical by IEEE, then rounded to 6 dp.
 
     Output: key | ts | id | value | n_obs | z (NULL when the frame
-    holds < ``min_obs`` rows or has zero variance) | is_anomaly
+    holds < ``min_obs`` rows or has zero variance, and for a NULL
+    ``value_col`` row — which still OCCUPIES its frame slot for later
+    rows: ``n_obs`` counts it, the sums skip it, exactly SQL
+    ``count(*)``/``sum`` NULL semantics) | is_anomaly
     (|z| >= threshold; NULL when z is NULL — an unscoreable row is not
     silently "normal"; filter on ``is_anomaly IS TRUE`` to alert, or
     fail closed on NULL, the caller's policy).

@@ -86,6 +86,9 @@ def streaming_rolling_zscore(
     ``z`` + ``is_anomaly`` — identical rows to the batch
     ``rolling_zscore`` over the same data whenever no key is silent
     longer than ``state_ttl`` (gate-checked against the same oracle).
+    NULL ``value_col`` rows follow the batch/SQL semantics exactly:
+    they occupy a frame slot (counted in later rows' ``n_obs``),
+    contribute nothing to the sums, and score NULL themselves.
     """
     if isinstance(keys, str):
         keys = [keys]
@@ -186,38 +189,57 @@ def streaming_rolling_zscore(
                     if t is not None:
                         t = t.sort_values(["__ts", "__id"], kind="mergesort")
                         frame = [
-                            (int(a), int(b), int(c))
+                            (
+                                int(a),
+                                int(b),
+                                # None survives the Arrow round trip as
+                                # None (integer_object_nulls); pd.isna
+                                # also catches any NaN a pandas op may
+                                # have introduced in between
+                                None if pd.isna(c) else int(c),
+                            )
                             for a, b, c in zip(t["__ts"], t["__id"], t["__y"])
                         ]
                     else:
                         frame = []
-                    s_run = sum(y for _, _, y in frame)
-                    q_run = sum(y * y for _, _, y in frame)
+                    s_run = sum(y for _, _, y in frame if y is not None)
+                    q_run = sum(y * y for _, _, y in frame if y is not None)
                     vals = grp[value_col].to_numpy()
                     tss = grp["__ts"].to_numpy()
                     ids = grp[id_col].to_numpy()
                     for j, pos in enumerate(grp.index):
                         # micro-unit integer, matching F.round(v*1e6) /
-                        # DuckDB round(v*1e6): HALF_UP on the double
-                        y = int(
-                            Decimal(repr(float(vals[j]) * 1e6)).quantize(
-                                Decimal(1), rounding=ROUND_HALF_UP
+                        # DuckDB round(v*1e6): HALF_UP on the double.
+                        # NULL value → y None — batch parity: the row
+                        # OCCUPIES its frame slot (count(1) counts it)
+                        # but contributes nothing to S/Q (sum skips
+                        # NULL), and its own z is NULL.
+                        v = float(vals[j])
+                        y = (
+                            None
+                            if math.isnan(v)
+                            else int(
+                                Decimal(repr(v * 1e6)).quantize(
+                                    Decimal(1), rounding=ROUND_HALF_UP
+                                )
                             )
                         )
                         n = len(frame)
                         n_obs_a[pos] = n
                         den2 = n * q_run - s_run * s_run
-                        if n >= min_obs and den2 > 0:
+                        if y is not None and n >= min_obs and den2 > 0:
                             z = _round6((n * y - s_run) / math.sqrt(den2))
                             z_a[pos] = z
                             an_a[pos] = abs(z) >= thr
                         frame.append((int(tss[j]), int(ids[j]), y))
-                        s_run += y
-                        q_run += y * y
+                        if y is not None:
+                            s_run += y
+                            q_run += y * y
                         if len(frame) > w:
                             _, _, y0 = frame.pop(0)
-                            s_run -= y0
-                            q_run -= y0 * y0
+                            if y0 is not None:
+                                s_run -= y0
+                                q_run -= y0 * y0
                     gk = gkey if isinstance(gkey, tuple) else (gkey,)
                     tail_rows.extend(
                         (*gk, a, b, c) for a, b, c in frame
@@ -232,9 +254,15 @@ def streaming_rolling_zscore(
                 new_tail = pd.DataFrame(
                     tail_rows, columns=[*keys_l, "__ts", "__id", "__y"]
                 )
-                # __y stays object (python ints) so Q-scale values never
-                # round-trip through float64 (the asof ADVICE fix)
-                new_tail["__y"] = new_tail["__y"].astype("object")
+                # __y must be OBJECT (python ints / None): the tuple
+                # constructor promotes an int column containing None to
+                # float64-with-NaN, which would corrupt bigint-scale
+                # values AND turn the None sentinel into NaN (the asof
+                # ADVICE class). Rebuild the column from the raw python
+                # values, bypassing the constructor's inference.
+                new_tail["__y"] = pd.Series(
+                    [r[-1] for r in tail_rows], dtype="object"
+                )
                 touched = set(new_tail[keys_l].itertuples(index=False, name=None))
                 if len(tail):
                     keep_mask = [

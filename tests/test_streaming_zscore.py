@@ -205,3 +205,25 @@ def test_streaming_zscore_args(spark):
         streaming_rolling_zscore(
             df, "user_id", "ts", "event_id", "value", min_obs=1
         )
+
+
+def test_streaming_zscore_null_values_match_batch(spark, tmp_path):
+    """NULL value rows: occupy a frame slot (later rows' n_obs counts
+    them), contribute nothing to the sums, score NULL themselves —
+    identical to the batch operator / SQL count(*)-vs-sum semantics."""
+    t0 = datetime.datetime(2024, 7, 1)
+    rows = []
+    for j in range(30):
+        v = None if j % 5 == 2 else float(j % 7) + 0.25
+        rows.append((1, t0 + datetime.timedelta(seconds=j * 10), j, v))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "value"])
+    in_dir = str(tmp_path / "in")
+    _write_chunks(in_dir, pdf, n_files=4)
+    out = _run(spark, in_dir, str(tmp_path / "o"), str(tmp_path / "ck"))
+    got = _got(out)
+    assert got == _batch_expected(spark, pdf)
+    # the NULL rows really came through: present, n_obs set, z NULL
+    for j in range(30):
+        if j % 5 == 2:
+            n, z, a = got[j]
+            assert z is None and a is None and n == min(j, 8)
