@@ -170,3 +170,119 @@ def rolling_zscore(
             "is_anomaly"
         ),
     )
+
+
+def rolling_zscore_banded(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window_rows: int = 20,
+    min_obs: int = 5,
+    threshold: float = 3.0,
+    band_seconds: float = None,
+) -> DataFrame:
+    """Identical output to :func:`rolling_zscore`, with per-key work
+    sharded into ``band_seconds``-wide time buckets — the hot-series
+    scale path (DESIGN rule 5): one series with a billion observations
+    never funnels through a single window partition.
+
+    Exact banded trailing-ROWS frame, two levels:
+
+    1. intra-band (partitioned by ``(key, band)``): every row gets its
+       local rank and trailing sums over the ≤ ``window_rows`` in-band
+       predecessors. A row with local rank > ``window_rows`` has its
+       WHOLE frame in-band — those sums are final.
+    2. the remaining rows (local rank ≤ ``window_rows`` — at most
+       ``window_rows`` per band per key) take their frame from a window
+       over the REDUCED set: each band's first and last ``window_rows``
+       rows (≤ 2·``window_rows`` per band per key, band-level volume,
+       never the data). The reduced set provably contains every true
+       frame row of a band-head: its in-band predecessors have rank <
+       rank ≤ w (heads themselves), and the cross-band part of a w-row
+       trailing frame is a suffix of ≤ w rows of earlier bands — each
+       fully inside those bands' last-w tails (an empty band contributes
+       nothing and skips nothing). No full-order row inside the frame
+       distance is absent, so the w immediate reduced-set predecessors
+       ARE the w immediate full-order predecessors.
+
+    Both levels run the SAME exact DECIMAL(38,0) sums and the final z is
+    the SAME one-shot double expression as the plain form — the outputs
+    are bit-identical (pytest-pinned on randomized data across band
+    widths, including NULL values and band-straddling frames).
+    """
+    if window_rows < 1:
+        raise ValueError(f"window_rows must be >= 1, got {window_rows}")
+    if min_obs < 2:
+        raise ValueError(f"min_obs must be >= 2, got {min_obs}")
+    if band_seconds is None:
+        raise ValueError("band_seconds is required for the banded form")
+    width_us = int(float(band_seconds) * 1_000_000)
+    if width_us <= 0:
+        raise ValueError("band_seconds must be positive")
+    from .sessions import _us
+
+    d = "decimal(38,0)"
+    w = int(window_rows)
+    yi = F.round(F.col(value_col) * 1e6).cast("bigint")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).alias("value"),
+        yi.alias("__y"),
+        _us(F.col(ts_col)).alias("__tsu"),
+        F.floor(_us(F.col(ts_col)) / F.lit(width_us)).alias("__band"),
+    )
+    yd = F.col("__y").cast(d)
+    wloc = Window.partitionBy("key", "__band").orderBy("__tsu", "id")
+    floc = wloc.rowsBetween(-w, -1)
+    loc = base.select(
+        "key", "ts", "id", "value", "__y", "__tsu", "__band",
+        F.row_number().over(wloc).alias("__r"),
+        F.count(F.lit(1)).over(floc).alias("__n_loc"),
+        F.sum(yd).over(floc).alias("__s_loc"),
+        F.sum(yd * yd).over(floc).alias("__q_loc"),
+    )
+    # band sizes: band-level rows; the groupBy reuses the window's
+    # (key, band) partitioning (no extra data exchange)
+    counts = base.groupBy("key", "__band").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    loc = loc.join(counts, ["key", "__band"])
+    is_head = F.col("__r") <= w
+    reduced = loc.filter(is_head | (F.col("__r") > F.col("__bn") - w))
+    wred = (
+        Window.partitionBy("key").orderBy("__tsu", "id").rowsBetween(-w, -1)
+    )
+    heads = (
+        reduced.select(
+            "key", "__tsu", "id", "__r",
+            F.count(F.lit(1)).over(wred).alias("__n_h"),
+            F.sum(yd).over(wred).alias("__s_h"),
+            F.sum(yd * yd).over(wred).alias("__q_h"),
+        )
+        .filter(F.col("__r") <= w)
+        .drop("__r")
+    )
+    j = loc.join(heads, ["key", "__tsu", "id"], "left")
+    n = F.when(is_head, F.col("__n_h")).otherwise(F.col("__n_loc"))
+    s = F.when(is_head, F.col("__s_h")).otherwise(F.col("__s_loc"))
+    q = F.when(is_head, F.col("__q_h")).otherwise(F.col("__q_loc"))
+    nD = n.cast(d)
+    num = nD * yd - s
+    den2 = nD * q - s * s
+    z = F.round(num.cast("double") / F.sqrt(den2.cast("double")), 6)
+    z = F.when((n >= min_obs) & (den2 > 0), z)
+    return j.select(
+        "key",
+        "ts",
+        "id",
+        "value",
+        n.alias("n_obs"),
+        z.alias("z"),
+        F.when(
+            z.isNotNull(), F.abs(z) >= F.lit(float(threshold))
+        ).alias("is_anomaly"),
+    )

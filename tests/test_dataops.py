@@ -1177,3 +1177,69 @@ def test_leakage_safe_split_cluster_coherent(spark):
         leakage_safe_split(df, "cluster_id", [("a", 0.5), ("a", 0.5)])
     with pytest.raises(ValueError, match="non-empty"):
         leakage_safe_split(df, "cluster_id", [])
+
+
+def test_rolling_zscore_banded_equals_plain(spark):
+    """The banded (hot-series) form is bit-identical to the plain form
+    across band widths — bands much smaller than the frame (every frame
+    straddles bands), comparable, and larger than the whole span — on
+    randomized data with NULL values and same-ts ties."""
+    import datetime
+    import random
+
+    from statefulstreamprocessor_spark.operators.stats import (
+        rolling_zscore,
+        rolling_zscore_banded,
+    )
+
+    rng = random.Random(99)
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for k in ("a", "b", "c"):
+        step = {"a": 7, "b": 61, "c": 433}[k]  # different band densities
+        for i in range(80):
+            v = None if rng.random() < 0.12 else rng.uniform(-5, 5) * (
+                10 ** rng.randint(0, 3)
+            )
+            rows.append(
+                (k, t0 + datetime.timedelta(seconds=i * step), eid, v)
+            )
+            eid += 1
+    # same-ts tie inside one band
+    rows.append(("a", t0 + datetime.timedelta(seconds=21), eid, 42.0))
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp_ntz, event_id long, value double"
+    )
+
+    def canon(out):
+        return sorted(
+            (r["key"], r["id"], r["n_obs"], r["z"], r["is_anomaly"])
+            for r in out.collect()
+        )
+
+    plain = canon(
+        rolling_zscore(
+            df, "k", "ts", "event_id", "value",
+            window_rows=10, min_obs=4, threshold=1.5,
+        )
+    )
+    for band in (30.0, 600.0, 10_000_000.0):
+        banded = rolling_zscore_banded(
+            df, "k", "ts", "event_id", "value",
+            window_rows=10, min_obs=4, threshold=1.5, band_seconds=band,
+        )
+        assert canon(banded) == plain, f"band_seconds={band}"
+        plan = banded._jdf.queryExecution().executedPlan().toString()
+        assert "unboundedfollowing" not in plan.lower()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    with pytest.raises(ValueError, match="band_seconds"):
+        rolling_zscore_banded(
+            df, "k", "ts", "event_id", "value"
+        )
+    with pytest.raises(ValueError, match="positive"):
+        rolling_zscore_banded(
+            df, "k", "ts", "event_id", "value", band_seconds=0
+        )
