@@ -115,7 +115,7 @@ def rolling_zscore(
 
     Scale shape: ONE hash exchange on the series key; O(n) frame
     passes. A single hot series serializes through one partition —
-    the banded decomposition (sessions/resample pattern) applies if a
+    use :func:`rolling_zscore_banded` (bit-identical output) if a
     corpus has one; per-url/domain series in webtext do not.
     """
     if window_rows < 1:
