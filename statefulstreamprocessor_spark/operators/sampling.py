@@ -197,6 +197,20 @@ def leakage_safe_split(
     prefix = F.substring(
         F.md5(F.concat(F.col(cluster_col).cast("string"), F.lit(salt))), 1, 8
     )
+    # NULL cluster id fails LOUD (the gopher null_text discipline): the
+    # concat above would otherwise yield a NULL prefix, every WHEN would
+    # evaluate false, and the row would silently land in the LAST split —
+    # a quiet eval-set contamination vector.
+    prefix = F.when(
+        F.col(cluster_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"leakage_safe_split: NULL {cluster_col!r} — every row "
+                "must carry a cluster id (singletons are their own "
+                "cluster under connected_components)"
+            )
+        ),
+    ).otherwise(prefix)
     # cumulative upper boundaries as fixed-width hex strings; the last
     # split takes everything remaining (no float-edge row can fall out)
     expr = F.lit(names[-1])

@@ -1243,3 +1243,26 @@ def test_rolling_zscore_banded_equals_plain(spark):
         rolling_zscore_banded(
             df, "k", "ts", "event_id", "value", band_seconds=0
         )
+
+
+def test_leakage_safe_split_null_cluster_fails_loud(spark):
+    """A NULL cluster id must raise, not silently land in the last
+    split (quiet eval-set contamination)."""
+    from statefulstreamprocessor_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 7), (2, None)], "doc_id long, cluster_id long"
+    )
+    out = leakage_safe_split(
+        df, "cluster_id", [("train", 0.9), ("eval", 0.1)]
+    )
+    with pytest.raises(Exception, match="NULL 'cluster_id'"):
+        out.collect()
+    # NULL-free input still works
+    ok = leakage_safe_split(
+        df.filter("cluster_id IS NOT NULL"), "cluster_id",
+        [("train", 0.9), ("eval", 0.1)],
+    ).collect()
+    assert len(ok) == 1
