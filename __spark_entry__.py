@@ -228,12 +228,14 @@ def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1 h / 15 min window counts (Flink comparator shape, J5/W4)."""
-    from statefulstreamprocessor_spark.operators.windows import sliding_agg
+    from statefulstreamprocessor_spark.operators.windows import (
+        sliding_count_agg,
+    )
 
     ev = _load(spark, sf_dir, "events")
-    out = sliding_agg(
+    out = sliding_count_agg(
         ev, "ts", "1 hour", "15 minutes", keys=["event_type"],
-        aggs=[F.count(F.lit(1)).alias("n")],
+        count_alias="n",
     )
     return out.select(
         _us("window_start").alias("ws_us"),
@@ -249,6 +251,7 @@ def q_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = session_agg(
         ev, "ts", "30 minutes", keys=["user_id"],
         aggs=[F.count(F.lit(1)).alias("n")],
+        min_input_partitions=spark.sparkContext.defaultParallelism,
     )
     return out.select(
         "user_id",

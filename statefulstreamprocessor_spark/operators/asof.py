@@ -47,12 +47,11 @@ def _merge_sides(
     / ``__rp`` payload structs."""
     left_payload = [c for c in df_left.columns if c not in keys]
     right_payload = [c for c in df_right.columns if c not in keys]
-    lp_type = df_left.select(
-        F.struct(*left_payload).alias("x")
-    ).schema["x"].dataType
-    rp_type = df_right.select(
-        F.struct(*right_payload).alias("x")
-    ).schema["x"].dataType
+    from pyspark.sql.types import StructType
+
+    # local struct types — no per-side analysis round-trip (see nn_join)
+    lp_type = StructType([df_left.schema[c] for c in left_payload])
+    rp_type = StructType([df_right.schema[c] for c in right_payload])
     merged = df_right.select(
         *keys,
         F.col(ts_col).alias("__ts"),

@@ -422,24 +422,35 @@ def ngram_jaccard_pairs(
     if min_input_partitions is not None:
         df = df.repartition(min_input_partitions)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.xxhash64(F.slice(toks, i + 1, n)),
-        )
-    )
+    # Lambda-free gram construction (optimization round 7): the previous
+    # transform(sequence, xxhash64(slice)) higher-order form is
+    # CodegenFallback — every gram evaluated interpreted, measured 2.0 s
+    # vs 0.8 s at sf1.0 for this stage. arrays_zip of n shifted slices
+    # builds the same token windows as native (codegen'd) collection ops:
+    # element i of the zip is (tok[i], tok[i+1], …, tok[i+n-1]) with NULL
+    # padding past the end — and since split() never yields NULL tokens,
+    # NULL marks "past end" uniquely, so struct equality == token-window
+    # equality including the short-document (< n tokens) single-gram case.
+    # array_distinct runs on the structs (collision-free, exactly the
+    # string semantics the oracle computes; the old form deduped on the
+    # 64-bit hash) and each distinct gram is hashed AFTER the explode —
+    # one codegen'd xxhash64 per row. Hash equality classes are unchanged
+    # (xxhash64 chains per field with the running hash as seed, exactly as
+    # it chains array elements).
+    L = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    zips = F.arrays_zip(*[F.slice(toks, i + 1, L) for i in range(n)])
+    dz = F.array_distinct(zips)
     # explode_outer, NOT explode: explode makes the optimizer infer a
     # size(grams) > 0 filter and push it below the repartition exchange,
-    # re-evaluating the whole (interpreted) gram expression serially on
-    # the scan task — measured 3.5 s of single-task CPU at sf0.1. With NULL
-    # text filtered above, the gram array is non-null and never empty
-    # (sequence yields >= 1 window), so the null row of explode_outer
-    # cannot occur.
-    g = df.select(F.col(id_col).alias("id"), grams.alias("grams")).select(
+    # re-evaluating the whole gram expression serially on the scan task —
+    # measured 3.5 s of single-task CPU at sf0.1. With NULL text filtered
+    # above, the gram array is non-null and never empty (L >= 1), so the
+    # null row of explode_outer cannot occur.
+    g = df.select(F.col(id_col).alias("id"), dz.alias("__dz")).select(
         "id",
-        F.size("grams").alias("n_grams"),
-        F.explode_outer("grams").alias("gram"),
-    )
+        F.size("__dz").alias("n_grams"),
+        F.explode_outer("__dz").alias("__gs"),
+    ).select("id", "n_grams", F.xxhash64("__gs").alias("gram"))
     if max_df is not None:
         grouped = g.groupBy("gram").agg(
             F.collect_list(F.struct(F.col("id"), F.col("n_grams"))).alias("ds")

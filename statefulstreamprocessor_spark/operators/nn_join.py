@@ -67,26 +67,27 @@ def nn_join(
     r_payload = [c for c in df_r.columns if c not in keys]
     s_payload = [c for c in df_s.columns if c not in keys]
 
+    # build the NULL-struct literal types from the input schemas directly:
+    # a df.select(F.struct(...)).schema probe costs a full analysis
+    # round-trip per side on the driver (~0.1 s each on deep inputs),
+    # paid at every plan construction
+    from pyspark.sql.types import StructType
+
+    r_struct_t = StructType([df_r.schema[c] for c in r_payload])
+    s_struct_t = StructType([df_s.schema[c] for c in s_payload])
+
     merged = df_r.select(
         *keys,
         F.col(ts_col).alias("__ts"),
         F.lit(0).alias("__side"),
         F.struct(*[F.col(c) for c in r_payload]).alias("__rp"),
-        F.lit(None).cast(
-            df_s.select(F.struct(*[F.col(c) for c in s_payload]).alias("x")).schema[
-                "x"
-            ].dataType
-        ).alias("__sp"),
+        F.lit(None).cast(s_struct_t).alias("__sp"),
     ).unionByName(
         df_s.select(
             *keys,
             F.col(ts_col).alias("__ts"),
             F.lit(1).alias("__side"),
-            F.lit(None).cast(
-                df_r.select(
-                    F.struct(*[F.col(c) for c in r_payload]).alias("x")
-                ).schema["x"].dataType
-            ).alias("__rp"),
+            F.lit(None).cast(r_struct_t).alias("__rp"),
             F.struct(*[F.col(c) for c in s_payload]).alias("__sp"),
         )
     )
@@ -238,7 +239,7 @@ def nn_join(
     pairs = ann.select(
         *keys,
         F.explode(
-            F.filter(F.array(alpha, beta), lambda x: x.isNotNull())
+            F.array_compact(F.array(alpha, beta))
         ).alias("__pair"),
     )
     if delta is not None:
@@ -339,12 +340,11 @@ def nn_join_banded(
             ).alias("__bucket"),
         )
 
-    r_struct_t = df_r.select(
-        F.struct(*[F.col(c) for c in r_payload]).alias("x")
-    ).schema["x"].dataType
-    s_struct_t = df_s.select(
-        F.struct(*[F.col(c) for c in s_payload]).alias("x")
-    ).schema["x"].dataType
+    from pyspark.sql.types import StructType
+
+    # local struct types — no per-side analysis round-trip (see nn_join)
+    r_struct_t = StructType([df_r.schema[c] for c in r_payload])
+    s_struct_t = StructType([df_s.schema[c] for c in s_payload])
 
     merged = tag(df_r, 0, r_struct_t, s_struct_t).unionByName(
         tag(df_s, 1, r_struct_t, s_struct_t)
@@ -461,7 +461,7 @@ def nn_join_banded(
     )
     pairs = ann.select(
         *keys,
-        F.explode(F.filter(F.array(alpha, beta), lambda x: x.isNotNull())).alias(
+        F.explode(F.array_compact(F.array(alpha, beta))).alias(
             "__pair"
         ),
     )

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "tumbling_agg",
     "sliding_agg",
+    "sliding_count_agg",
     "session_agg",
     "windowed_latest_pair",
     "power_level",
@@ -77,16 +78,102 @@ def sliding_agg(
     )
 
 
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(s: str) -> int:
+    """Parse simple '<n> <unit>' interval strings (the forms F.window
+    accepts for the workloads here) to whole seconds."""
+    parts = s.strip().split()
+    if len(parts) != 2 or parts[1].lower() not in _UNIT_SECONDS:
+        raise ValueError(f"unsupported interval string: {s!r}")
+    return int(parts[0]) * _UNIT_SECONDS[parts[1].lower()]
+
+
+def sliding_count_agg(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    slide: str,
+    keys: list[str] | None = None,
+    count_alias: str = "n",
+) -> DataFrame:
+    """Two-phase sliding-window COUNT: tumbling-bucket pre-count, then an
+    explode of the (tiny) bucket rollup into its covering windows.
+
+    Identical results to ``sliding_agg(..., aggs=[count])`` when ``size``
+    is a whole multiple of ``slide`` (asserted): a row at time t belongs
+    to exactly the windows ``bucket(t) - i*slide`` for i in 0..ratio-1,
+    where bucket(t) is the slide-wide tumbling window — so summing
+    per-bucket counts over the same explode is exact, and the set of
+    emitted windows (those covering ≥1 row) is identical. The size/slide
+    explode then multiplies the pre-aggregated bucket rollup
+    (|buckets|·|keys| rows) instead of every input row — at sf1.0 that is
+    a 4× explode of 13.5k rows instead of 1M (measured 0.74 s → 0.54 s),
+    and at cluster scale it removes the explode from the scan stage
+    entirely.
+    """
+    keys = keys or []
+    size_s, slide_s = _interval_seconds(size), _interval_seconds(slide)
+    if size_s % slide_s != 0:
+        raise ValueError("sliding_count_agg requires size % slide == 0")
+    ratio = size_s // slide_s
+    pre = df.groupBy(F.window(ts_col, slide).alias("__b"), *keys).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    ex = pre.select(
+        *keys,
+        "__n",
+        F.col("__b.start").alias("__bs"),
+        F.explode(F.sequence(F.lit(0), F.lit(ratio - 1))).alias("__i"),
+    ).select(
+        *keys,
+        "__n",
+        (
+            F.col("__bs") - F.col("__i") * F.expr(f"INTERVAL {slide}")
+        ).alias("window_start"),
+    )
+    return (
+        ex.groupBy("window_start", *keys)
+        .agg(F.sum("__n").cast("long").alias(count_alias))
+        .select(
+            "window_start",
+            (F.col("window_start") + F.expr(f"INTERVAL {size}")).alias(
+                "window_end"
+            ),
+            *keys,
+            count_alias,
+        )
+    )
+
+
 def session_agg(
     df: DataFrame,
     ts_col: str,
     gap: str,
     keys: list[str] | None = None,
     aggs: list[Column] | None = None,
+    min_input_partitions: int | None = None,
 ) -> DataFrame:
-    """Session windows with a fixed inactivity gap."""
+    """Session windows with a fixed inactivity gap.
+
+    ``min_input_partitions``: hash-repartition the input by ``keys``
+    before the session aggregation. The plan still has exactly ONE
+    exchange (the aggregate's own key exchange is satisfied by the
+    pre-partitioning), but the per-key sort + partial session merge then
+    runs AFTER the exchange on every core instead of inside the scan
+    stage — the win when the input has fewer splits than cores (one big
+    row group locally; measured 1.49 s → 0.64 s on a 1M-row single-split
+    input). On a many-split cluster scan leave it None: the map-side
+    partial session merge then reduces shuffle bytes instead.
+    """
     keys = keys or []
     aggs = aggs or [F.count(F.lit(1)).alias("n")]
+    if min_input_partitions is not None and keys:
+        df = df.repartition(min_input_partitions, *keys)
     g = df.groupBy(F.session_window(ts_col, gap).alias("__w"), *keys)
     out = g.agg(*aggs)
     return out.select(
@@ -111,6 +198,7 @@ def windowed_latest_pair(
     value_col: str,
     size: str,
     slide: str,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Flink-comparator parity: per (key, sliding window), pair the most
     recent record of each side and derive the power record.
@@ -119,10 +207,51 @@ def windowed_latest_pair(
     (window, key) where both sides are present:
     (window_start, window_end, key..., r_ts, r_value, s_ts, s_value,
     result, out_ts, level).
+
+    ``prefilter`` (default on): drop events whose nearest other-side
+    event in the same key is further than ``size`` away BEFORE the
+    window explode + aggregation. Output-preserving: an emitted
+    (window, key) group has both sides inside one ``size``-long window,
+    so its latest-r and latest-s are within ``size`` of an other-side
+    event and always survive; every filtered row belongs only to groups
+    the both-sides-present filter would discard, or is dominated by a
+    surviving later same-side row. On sparse key timelines (the common
+    case) this removes ~95% of the rows feeding the size/slide explode
+    and the near-total-cardinality hash aggregate — the dominant cost —
+    for one extra O(n) pass of running-frame window functions.
     """
     if isinstance(keys, str):
         keys = [keys]
     is_r = F.col(side_col) == "r"
+    if prefilter:
+        from pyspark.sql import Window as W
+
+        size_i = F.expr(f"INTERVAL {size}")
+        w_asc = (
+            W.partitionBy(*keys)
+            .orderBy(F.col(ts_col).asc())
+            .rangeBetween(W.unboundedPreceding, W.currentRow)
+        )
+        w_desc = (
+            W.partitionBy(*keys)
+            .orderBy(F.col(ts_col).desc())
+            .rangeBetween(W.unboundedPreceding, W.currentRow)
+        )
+        ann = df.select(
+            "*",
+            F.max(F.when(is_r, F.col(ts_col))).over(w_asc).alias("__lr"),
+            F.max(F.when(~is_r, F.col(ts_col))).over(w_asc).alias("__ls"),
+        ).select(
+            "*",
+            F.min(F.when(is_r, F.col(ts_col))).over(w_desc).alias("__nr"),
+            F.min(F.when(~is_r, F.col(ts_col))).over(w_desc).alias("__ns"),
+        )
+        prev_other = F.when(is_r, F.col("__ls")).otherwise(F.col("__lr"))
+        next_other = F.when(is_r, F.col("__ns")).otherwise(F.col("__nr"))
+        keep = (
+            prev_other.isNotNull() & (prev_other >= F.col(ts_col) - size_i)
+        ) | (next_other.isNotNull() & (next_other <= F.col(ts_col) + size_i))
+        df = ann.filter(keep).drop("__lr", "__ls", "__nr", "__ns")
     g = df.groupBy(F.window(ts_col, size, slide).alias("__w"), *keys)
     paired = g.agg(
         F.max_by(
