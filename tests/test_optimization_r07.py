@@ -1,0 +1,251 @@
+"""Round-7 optimization equivalence tests.
+
+Every optimization this round restructures an operator's physical plan
+while keeping its output identical; these tests pin the equivalences on
+randomized data (including the edge shapes the proofs lean on: ties,
+short documents, sparse and dense key timelines).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def rand_events(spark):
+    """Randomized two-sided event stream with deliberate clusters: some
+    users dense (partners nearby), some sparse (no partner within an
+    hour), plus exact cross-side timestamp ties."""
+    rng = random.Random(7)
+    rows = []
+    for uid in range(40):
+        dense = uid % 3 == 0
+        n = rng.randint(3, 40)
+        t0 = rng.randint(0, 3_000_000)
+        t = t0
+        for i in range(n):
+            t += rng.randint(1, 600 if dense else 7200)
+            side = "r" if rng.random() < 0.5 else "s"
+            rows.append((uid, t, side, float(rng.randint(0, 1000)) / 10))
+        # exact cross-side tie
+        rows.append((uid, t0, "r", 1.0))
+        rows.append((uid, t0, "s", 2.0))
+    df = spark.createDataFrame(rows, "user_id int, sec long, side string, value double")
+    return df.select(
+        "user_id",
+        F.timestamp_seconds(F.col("sec")).cast("timestamp_ntz").alias("ts"),
+        "side",
+        "value",
+    )
+
+
+def test_windowed_latest_pair_prefilter_is_output_preserving(rand_events):
+    from statefulstreamprocessor_spark.operators.windows import (
+        windowed_latest_pair,
+    )
+
+    kw = dict(
+        keys=["user_id"], ts_col="ts", side_col="side", value_col="value",
+        size="1 hour", slide="15 minutes",
+    )
+    plain = windowed_latest_pair(rand_events, prefilter=False, **kw)
+    fast = windowed_latest_pair(rand_events, prefilter=True, **kw)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, fast.collect())
+    )
+    assert fast.count() > 0  # non-degenerate: dense users must pair
+
+
+def test_sliding_count_agg_matches_generic_sliding_agg(rand_events):
+    from statefulstreamprocessor_spark.operators.windows import (
+        sliding_agg,
+        sliding_count_agg,
+    )
+
+    generic = sliding_agg(
+        rand_events, "ts", "1 hour", "15 minutes", keys=["side"],
+        aggs=[F.count(F.lit(1)).alias("n")],
+    )
+    twophase = sliding_count_agg(
+        rand_events, "ts", "1 hour", "15 minutes", keys=["side"],
+        count_alias="n",
+    )
+    assert generic.columns == twophase.columns
+    # sum-of-counts is nullable where count is not; the gate compares
+    # names + types (nullability is not part of the oracle contract)
+    assert [(f.name, f.dataType) for f in generic.schema.fields] == [
+        (f.name, f.dataType) for f in twophase.schema.fields
+    ]
+    assert sorted(map(tuple, generic.collect())) == sorted(
+        map(tuple, twophase.collect())
+    )
+
+
+def test_sliding_count_agg_rejects_non_divisible_slide(rand_events):
+    from statefulstreamprocessor_spark.operators.windows import (
+        sliding_count_agg,
+    )
+
+    with pytest.raises(ValueError):
+        sliding_count_agg(rand_events, "ts", "1 hour", "7 minutes")
+
+
+def test_session_agg_keyed_prepartition_is_output_preserving(rand_events):
+    from statefulstreamprocessor_spark.operators.windows import session_agg
+
+    kw = dict(
+        ts_col="ts", gap="30 minutes", keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n")],
+    )
+    plain = session_agg(rand_events, **kw)
+    pre = session_agg(rand_events, min_input_partitions=8, **kw)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, pre.collect())
+    )
+
+
+def test_ngram_grams_match_string_reference(spark):
+    """The arrays_zip gram pipeline must produce the same pair set as a
+    literal string-n-gram reference (computed in python) — including
+    short documents (< n tokens), repeated grams, and multi-space
+    separators."""
+    from statefulstreamprocessor_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = [
+        (1, "a b c d e"),
+        (2, "a b c d e"),              # exact dup of 1
+        (3, "a b c x e"),              # near dup
+        (4, "a  b\tc   d e"),          # same tokens, messy whitespace
+        (5, "one two"),                # < n tokens: single short gram
+        (6, "one two"),                # dup of the short doc
+        (7, "a b a b a b"),            # repeated grams collapse (distinct)
+        (8, "z"),                      # single token
+        (9, "a b c d e f g h"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    def ref_pairs(threshold=0.1):
+        def grams(t):
+            toks = t.strip().lower().split()
+            if len(toks) < 3:
+                return {tuple(toks)}
+            return {tuple(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        gs = {d: grams(t) for d, t in docs}
+        out = {}
+        ids = sorted(gs)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                inter = len(gs[a] & gs[b])
+                if inter:
+                    j = inter / (len(gs[a]) + len(gs[b]) - inter)
+                    if round(j, 6) >= threshold:
+                        out[(a, b)] = round(j, 6)
+        return out
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", n=3, threshold=0.1, max_df=50
+        ).collect()
+    }
+    assert got == ref_pairs()
+
+
+def test_cosine_topk_matches_sql_reference_with_margin_stress(spark):
+    """The numpy scorer (fold-order accumulation + 2e-4 local-top-k
+    margin) must reproduce the Catalyst-fold SQL reference exactly —
+    stressed with many near-tied similarities (clustered vectors) so the
+    margin and the rounded-ordering tiebreak both get exercised."""
+    import numpy as np
+
+    from statefulstreamprocessor_spark.operators.similarity import (
+        cosine_sim_col,
+        cosine_topk,
+    )
+    from pyspark.sql import Window
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((4, 16))
+    rows = []
+    for i in range(300):
+        v = base[i % 4] + 1e-3 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") % 29 == 0)
+
+    got = cosine_topk(q, emb, "vec_id", "embedding", k=5)
+
+    qq = q.select(F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("qv"))
+    scored = (
+        emb.crossJoin(F.broadcast(qq))
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id",
+            "vec_id",
+            F.round(cosine_sim_col(F.col("qv"), F.col("embedding")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    ref = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_vec_id", F.col("vec_id").alias("neighbor_id"), "sim", "rank")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_cosine_topk_empty_query_side(spark):
+    from statefulstreamprocessor_spark.operators.similarity import cosine_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    out = cosine_topk(emb.filter("vec_id < 0"), emb, "vec_id", "embedding", k=2)
+    assert out.count() == 0
+
+
+def test_nn_join_array_compact_pairset_unchanged(spark, events=None):
+    """array_compact(array(alpha, beta)) must emit exactly the non-null
+    candidates in order — same pair bag as the lambda filter form."""
+    from statefulstreamprocessor_spark.operators import nn_join
+
+    rng = random.Random(3)
+    rows = []
+    for uid in range(20):
+        t = 0
+        for _ in range(rng.randint(1, 30)):
+            t += rng.randint(1, 100)
+            rows.append((uid, t, rng.random() < 0.5, t * 10 + uid))
+    df = spark.createDataFrame(rows, "user_id int, ts long, r boolean, eid long")
+    r = df.filter("r").drop("r")
+    s = df.filter("not r").drop("r")
+    out = nn_join(r, s, "user_id", "ts")
+    # kernel reference
+    from statefulstreamprocessor_spark.kernels import closure_pairs
+
+    got = sorted(
+        (row["user_id"], row["r_ts"], row["s_ts"]) for row in out.collect()
+    )
+    ref = []
+    import collections
+
+    import numpy as np
+
+    by_uid_r = collections.defaultdict(list)
+    by_uid_s = collections.defaultdict(list)
+    for uid, t, is_r, eid in rows:
+        (by_uid_r if is_r else by_uid_s)[uid].append(t)
+    for uid in set(by_uid_r) | set(by_uid_s):
+        rr = np.array(sorted(by_uid_r.get(uid, [])), dtype=np.int64)
+        ss = np.array(sorted(by_uid_s.get(uid, [])), dtype=np.int64)
+        if not len(rr) or not len(ss):
+            continue
+        ri, si = closure_pairs(rr, ss)
+        for i, j in zip(ri, si):
+            ref.append((uid, int(rr[i]), int(ss[j])))
+    assert got == sorted(ref)

@@ -65,13 +65,18 @@ def test_asof_plan_no_join_node(spark, events):
     assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
-def test_cosine_topk_broadcasts_queries(spark):
+def test_cosine_topk_corpus_never_joined(spark):
+    """Optimization round 7: the query side ships to the corpus scan as a
+    small matrix (it is collected/broadcast by contract); the corpus must
+    not be joined or shuffled before scoring — no join node at all, and
+    the only exchange is the rank window's, fed by the local top-k."""
     from statefulstreamprocessor_spark.operators.similarity import cosine_topk
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") % 50 == 0)
     plan = _plan(cosine_topk(q, emb, "vec_id", "embedding", k=3))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan, plan
 
 
 def test_cosine_topk_prereduces_before_rank_exchange(spark):
