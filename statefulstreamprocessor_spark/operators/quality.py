@@ -94,17 +94,21 @@ def ngram_repetition_stats(
     (the full token list), mirroring ngram_jaccard_pairs.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    grams_arr = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.xxhash64(F.slice(toks, i + 1, n)),
-    )
+    # lambda-free gram construction (round 7, the ngram_jaccard_pairs
+    # rewrite): arrays_zip of n shifted slices instead of the interpreted
+    # transform/sequence fold — same token windows (NULL pads mark
+    # "past end" uniquely since split() never yields NULL tokens), each
+    # occurrence hashed after the explode with one codegen'd xxhash64
+    L = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    zips = F.arrays_zip(*[F.slice(toks, i + 1, L) for i in range(n)])
     grams = (
         df.filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("id"),
-            F.explode_outer(grams_arr).alias("g"),
+            F.explode_outer(zips).alias("__gs"),
         )
-        .filter(F.col("g").isNotNull())
+        .filter(F.col("__gs").isNotNull())
+        .select("id", F.xxhash64("__gs").alias("g"))
     )
     gc = grams.groupBy("id", "g").agg(F.count(F.lit(1)).alias("cnt"))
     out = gc.groupBy("id").agg(

