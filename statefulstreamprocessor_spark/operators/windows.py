@@ -224,33 +224,36 @@ def windowed_latest_pair(
         keys = [keys]
     is_r = F.col(side_col) == "r"
     if prefilter:
-        from pyspark.sql import Window as W
-
-        size_i = F.expr(f"INTERVAL {size}")
-        w_asc = (
-            W.partitionBy(*keys)
-            .orderBy(F.col(ts_col).asc())
-            .rangeBetween(W.unboundedPreceding, W.currentRow)
+        # SQL-string construction (one parse RPC per select — see
+        # nn_join._nn_pairs_sql for the measured py4j-chatter rationale)
+        kq = ", ".join(f"`{k}`" for k in keys)
+        tq = f"`{ts_col}`"
+        sq = f"`{side_col}`"
+        rng_asc = (
+            f"OVER (PARTITION BY {kq} ORDER BY {tq} ASC "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         )
-        w_desc = (
-            W.partitionBy(*keys)
-            .orderBy(F.col(ts_col).desc())
-            .rangeBetween(W.unboundedPreceding, W.currentRow)
+        rng_desc = (
+            f"OVER (PARTITION BY {kq} ORDER BY {tq} DESC "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         )
-        ann = df.select(
+        ann = df.selectExpr(
             "*",
-            F.max(F.when(is_r, F.col(ts_col))).over(w_asc).alias("__lr"),
-            F.max(F.when(~is_r, F.col(ts_col))).over(w_asc).alias("__ls"),
-        ).select(
+            f"max(CASE WHEN {sq} = 'r' THEN {tq} END) {rng_asc} AS __lr",
+            f"max(CASE WHEN {sq} = 's' THEN {tq} END) {rng_asc} AS __ls",
+        ).selectExpr(
             "*",
-            F.min(F.when(is_r, F.col(ts_col))).over(w_desc).alias("__nr"),
-            F.min(F.when(~is_r, F.col(ts_col))).over(w_desc).alias("__ns"),
+            f"min(CASE WHEN {sq} = 'r' THEN {tq} END) {rng_desc} AS __nr",
+            f"min(CASE WHEN {sq} = 's' THEN {tq} END) {rng_desc} AS __ns",
         )
-        prev_other = F.when(is_r, F.col("__ls")).otherwise(F.col("__lr"))
-        next_other = F.when(is_r, F.col("__ns")).otherwise(F.col("__nr"))
+        prev_other = f"(CASE WHEN {sq} = 'r' THEN __ls ELSE __lr END)"
+        next_other = f"(CASE WHEN {sq} = 'r' THEN __ns ELSE __nr END)"
         keep = (
-            prev_other.isNotNull() & (prev_other >= F.col(ts_col) - size_i)
-        ) | (next_other.isNotNull() & (next_other <= F.col(ts_col) + size_i))
+            f"({prev_other} IS NOT NULL AND "
+            f"{prev_other} >= {tq} - INTERVAL {size}) OR "
+            f"({next_other} IS NOT NULL AND "
+            f"{next_other} <= {tq} + INTERVAL {size})"
+        )
         df = ann.filter(keep).drop("__lr", "__ls", "__nr", "__ns")
     g = df.groupBy(F.window(ts_col, size, slide).alias("__w"), *keys)
     paired = g.agg(
