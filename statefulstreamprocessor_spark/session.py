@@ -44,6 +44,15 @@ def get_spark(
         # Arrow for every pandas UDF / applyInPandas exchange
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # whole-stage-codegen class cache (SQLConf CODEGEN_CACHE_MAX_ENTRIES,
+        # default 100): an application running many distinct plans — this
+        # engine's query registry, or any multi-query ETL driver — evicts
+        # and RE-COMPILES generated classes on every re-run past 100 cached
+        # units (janino compile ~30-100 ms per WholeStageCodegen span;
+        # measured 1.3 s across the 13-query bench sweep). 2000 entries is
+        # ≤~100 MB of metaspace worst-case and scale-independent (the cache
+        # is per-JVM and plan-shape-keyed, not data-sized).
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         # keep parquet scans prunable
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
