@@ -73,10 +73,12 @@ def _us(c) -> F.Column:
 
 def q_nn_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closure nearest-neighbor pairwise time-series join (SURVEY §2.3 J1)."""
-    from statefulstreamprocessor_spark.operators import nn_join
+    from statefulstreamprocessor_spark.operators.nn_join import nn_join_one_source
 
-    r, s = _event_sides(spark, sf_dir)
-    out = nn_join(r, s, "user_id", "ts")
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value", "event_type"
+    )
+    out = nn_join_one_source(ev, "user_id", "ts", "event_type", "click", "view")
     return out.select(
         "user_id",
         _us("r_ts").alias("r_ts_us"),
@@ -90,10 +92,14 @@ def q_nn_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_nn_pair_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 with the Δ-time band predicate (SURVEY §2.3 J2), Δ = 2 h."""
-    from statefulstreamprocessor_spark.operators import nn_join
+    from statefulstreamprocessor_spark.operators.nn_join import nn_join_one_source
 
-    r, s = _event_sides(spark, sf_dir)
-    out = nn_join(r, s, "user_id", "ts", delta=7200.0)
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value", "event_type"
+    )
+    out = nn_join_one_source(
+        ev, "user_id", "ts", "event_type", "click", "view", delta=7200.0
+    )
     return out.select(
         "user_id",
         _us("r_ts").alias("r_ts_us"),

@@ -12,10 +12,14 @@ broadcast, no range explosion, skew-tolerant (per-key cost linear).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["asof_join", "asof_join_banded"]
+
+_PLAIN_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 def _orderable(dtype) -> bool:
@@ -167,6 +171,72 @@ def _asof_core(
     return ann.select(*out)
 
 
+def _asof_sql_fast(
+    df_left: DataFrame,
+    df_right: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    direction: str,
+    right_prefix: str,
+) -> DataFrame:
+    """SQL-string form of the tolerance-free ``asof_join`` — the same
+    logical plan as ``_merge_sides`` + ``_asof_core`` (payload-struct
+    tie-break included) parsed JVM-side in four selects instead of
+    hundreds of per-Column py4j round-trips (see ``nn_join._nn_pairs_sql``
+    for the measured rationale). Callers guarantee every involved
+    identifier is a plain SQL name and the right payload is orderable."""
+    left_payload = [c for c in df_left.columns if c not in keys]
+    right_payload = [c for c in df_right.columns if c not in keys]
+    from pyspark.sql.types import StructType
+
+    lp_t = StructType([df_left.schema[c] for c in left_payload]).simpleString()
+    rp_t = StructType([df_right.schema[c] for c in right_payload]).simpleString()
+    kq = [f"`{k}`" for k in keys]
+
+    def struct_of(cols: list[str]) -> str:
+        return "struct(" + ", ".join(f"`{c}` AS `{c}`" for c in cols) + ")"
+
+    merged = df_right.selectExpr(
+        *kq,
+        f"`{ts_col}` AS __ts",
+        "0 AS __side",
+        f"CAST(NULL AS {lp_t}) AS __lp",
+        f"{struct_of(right_payload)} AS __rp",
+    ).unionByName(
+        df_left.selectExpr(
+            *kq,
+            f"`{ts_col}` AS __ts",
+            "1 AS __side",
+            f"{struct_of(left_payload)} AS __lp",
+            f"CAST(NULL AS {rp_t}) AS __rp",
+        )
+    )
+    order = (
+        "__ts ASC, __side ASC, __rp ASC"
+        if direction == "backward"
+        else "__ts DESC, __side ASC, __rp DESC"
+    )
+    w = (
+        f"OVER (PARTITION BY {', '.join(kq)} ORDER BY {order} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    ann = merged.selectExpr(
+        "*",
+        "last(CASE WHEN __side = 0 THEN struct(__ts AS t, __rp AS p) END, "
+        f"true) {w} AS __cand",
+    ).filter("__side = 1")
+    return ann.selectExpr(
+        *kq,
+        *[f"__lp.`{c}` AS `{c}`" for c in left_payload],
+        f"__cand.t AS `{right_prefix}{ts_col}`",
+        *[
+            f"__cand.p.`{c}` AS `{right_prefix}{c}`"
+            for c in right_payload
+            if c != ts_col
+        ],
+    )
+
+
 def asof_join(
     df_left: DataFrame,
     df_right: DataFrame,
@@ -195,6 +265,26 @@ def asof_join(
         keys = [keys]
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if tolerance is None:
+        # SQL-string fast path (same logical plan, one parse RPC per
+        # select): applicable when every identifier is a plain SQL name
+        # and the right payload struct is orderable (the tie-break rule
+        # needs it in the ORDER BY)
+        names = [
+            *keys, ts_col, right_prefix,
+            *df_left.columns, *df_right.columns,
+        ]
+        from pyspark.sql.types import StructType
+
+        rp_orderable = _orderable(
+            StructType(
+                [df_right.schema[c] for c in df_right.columns if c not in keys]
+            )
+        )
+        if rp_orderable and all(_PLAIN_IDENT.match(c) for c in names):
+            return _asof_sql_fast(
+                df_left, df_right, keys, ts_col, direction, right_prefix
+            )
     # at equal ts the right row must be visible to the left row, so right
     # sorts first in backward mode and last-reversed in forward mode
     merged, left_payload, right_payload = _merge_sides(

@@ -23,10 +23,18 @@ Physical plan (scale notes):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["nn_join", "nn_join_banded", "PAIR_LEFT_PREFIX", "PAIR_RIGHT_PREFIX"]
+__all__ = [
+    "nn_join",
+    "nn_join_one_source",
+    "nn_join_banded",
+    "PAIR_LEFT_PREFIX",
+    "PAIR_RIGHT_PREFIX",
+]
 
 PAIR_LEFT_PREFIX = "r_"
 PAIR_RIGHT_PREFIX = "s_"
@@ -259,6 +267,60 @@ def nn_join(
     return _nn_project_out(pairs, keys, ts_col, r_payload, s_payload, df_r, delta)
 
 
+_PLAIN_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def nn_join_one_source(
+    df: DataFrame,
+    keys: list[str] | str,
+    ts_col: str,
+    side_col: str,
+    left_value: str,
+    right_value: str,
+    delta: float | None = None,
+) -> DataFrame:
+    """``nn_join`` for the one-topic case: both sides live in ONE table,
+    tagged by ``side_col`` (the reference's single Kafka topic carrying
+    both quantities, keyed by ``thing.quantity``).
+
+    Exactly equivalent to::
+
+        r = df.filter(col(side_col) == left_value).drop(side_col)
+        s = df.filter(col(side_col) == right_value).drop(side_col)
+        nn_join(r, s, keys, ts_col, delta)
+
+    (equality-tested) but builds the merged two-sided stream with a
+    single CASE-tagged pass instead of unioning two filtered scans — the
+    source is read ONCE instead of twice (guide §1.2: remove unnecessary
+    passes; at cluster scale the second scan is a full extra read of the
+    input). Rows with any other ``side_col`` value are dropped, as the
+    two-filter form drops them."""
+    if isinstance(keys, str):
+        keys = [keys]
+    payload = [c for c in df.columns if c not in keys and c != side_col]
+    ident_ok = all(
+        _PLAIN_IDENT.match(c) for c in [*keys, ts_col, side_col, *payload]
+    ) and "'" not in f"{left_value}{right_value}"
+    if not ident_ok:  # pragma: no cover - defensive fallback
+        r = df.filter(F.col(side_col) == left_value).drop(side_col)
+        s = df.filter(F.col(side_col) == right_value).drop(side_col)
+        return nn_join(r, s, keys, ts_col, delta)
+    pstruct = "struct(" + ", ".join(f"`{c}` AS `{c}`" for c in payload) + ")"
+    merged = df.filter(
+        F.col(side_col).isin(left_value, right_value)
+    ).selectExpr(
+        *[f"`{k}`" for k in keys],
+        f"`{ts_col}` AS __ts",
+        f"CAST(`{side_col}` = '{right_value}' AS INT) AS __side",
+        f"CASE WHEN `{side_col}` = '{left_value}' THEN {pstruct} END AS __rp",
+        f"CASE WHEN `{side_col}` = '{right_value}' THEN {pstruct} END AS __sp",
+    )
+    pairs = _nn_pairs_sql(merged, keys)
+    return _nn_project_out(
+        pairs, keys, ts_col, payload, payload, df, delta
+    )
+
+
 def _nn_project_out(
     pairs: DataFrame,
     keys: list[str],
@@ -269,6 +331,37 @@ def _nn_project_out(
     delta: float | None,
 ) -> DataFrame:
     """Shared tail: optional Δ-band filter + r_/s_-prefixed projection."""
+    names = [*keys, ts_col, *r_payload, *s_payload]
+    if all(_PLAIN_IDENT.match(c) for c in names):
+        # SQL-string fast path: one parse RPC per select/filter instead of
+        # ~2 py4j round-trips per output column (see _nn_pairs_sql)
+        if delta is not None:
+            ts_type = df_r.schema[ts_col].dataType.simpleString()
+            if ts_type.startswith("timestamp"):
+                dt = (
+                    "CAST(CAST(__pair.r_t AS TIMESTAMP) AS DOUBLE) - "
+                    "CAST(CAST(__pair.s_t AS TIMESTAMP) AS DOUBLE)"
+                )
+            else:
+                dt = "CAST(__pair.r_t AS DOUBLE) - CAST(__pair.s_t AS DOUBLE)"
+            pairs = pairs.filter(
+                f"abs({dt}) <= CAST({float(delta)!r} AS DOUBLE)"
+            )
+        return pairs.selectExpr(
+            *[f"`{k}`" for k in keys],
+            f"__pair.r_t AS `{PAIR_LEFT_PREFIX}{ts_col}`",
+            *[
+                f"__pair.r_p.`{c}` AS `{PAIR_LEFT_PREFIX}{c}`"
+                for c in r_payload
+                if c != ts_col
+            ],
+            f"__pair.s_t AS `{PAIR_RIGHT_PREFIX}{ts_col}`",
+            *[
+                f"__pair.s_p.`{c}` AS `{PAIR_RIGHT_PREFIX}{c}`"
+                for c in s_payload
+                if c != ts_col
+            ],
+        )
     if delta is not None:
         ts_type = df_r.schema[ts_col].dataType.simpleString()
         if ts_type.startswith("timestamp"):

@@ -222,7 +222,6 @@ def windowed_latest_pair(
     """
     if isinstance(keys, str):
         keys = [keys]
-    is_r = F.col(side_col) == "r"
     if prefilter:
         # SQL-string construction (one parse RPC per select — see
         # nn_join._nn_pairs_sql for the measured py4j-chatter rationale)
@@ -255,32 +254,39 @@ def windowed_latest_pair(
             f"{next_other} <= {tq} + INTERVAL {size})"
         )
         df = ann.filter(keep).drop("__lr", "__ls", "__nr", "__ns")
+    # aggregation + projection as SQL expression strings (same logical
+    # expressions as the previous per-Column form — F.lit(POWER_*) becomes
+    # CAST('<repr>' AS DOUBLE), an exact double round-trip — one parse RPC
+    # each instead of ~90 py4j round-trips per plan construction)
+    tq, sq, vq = f"`{ts_col}`", f"`{side_col}`", f"`{value_col}`"
+    side_struct = f"struct({tq} AS t, {vq} AS v)"
     g = df.groupBy(F.window(ts_col, size, slide).alias("__w"), *keys)
     paired = g.agg(
-        F.max_by(
-            F.when(is_r, F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v"))),
-            F.when(is_r, F.col(ts_col)),
+        F.expr(
+            f"max_by(CASE WHEN {sq} = 'r' THEN {side_struct} END, "
+            f"CASE WHEN {sq} = 'r' THEN {tq} END)"
         ).alias("__r"),
-        F.max_by(
-            F.when(~is_r, F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v"))),
-            F.when(~is_r, F.col(ts_col)),
+        F.expr(
+            f"max_by(CASE WHEN {sq} = 's' THEN {side_struct} END, "
+            f"CASE WHEN {sq} = 's' THEN {tq} END)"
         ).alias("__s"),
-    ).filter(F.col("__r").isNotNull() & F.col("__s").isNotNull())
+    ).filter("__r IS NOT NULL AND __s IS NOT NULL")
 
-    result = F.least(
-        F.lit(POWER_CLAMP),
-        F.abs(F.lit(POWER_FACTOR) * F.col("__r.v") * F.col("__s.v")),
+    result = (
+        f"least(CAST('{POWER_CLAMP!r}' AS DOUBLE), "
+        f"abs(CAST('{POWER_FACTOR!r}' AS DOUBLE) * __r.v * __s.v))"
     )
-    return paired.select(
-        F.col("__w.start").alias("window_start"),
-        F.col("__w.end").alias("window_end"),
-        *keys,
-        F.col("__r.t").alias("r_ts"),
-        F.col("__r.v").alias("r_value"),
-        F.col("__s.t").alias("s_ts"),
-        F.col("__s.v").alias("s_value"),
-        result.alias("result"),
+    return paired.selectExpr(
+        "__w.start AS window_start",
+        "__w.end AS window_end",
+        *[f"`{k}`" for k in keys],
+        "__r.t AS r_ts",
+        "__r.v AS r_value",
+        "__s.t AS s_ts",
+        "__s.v AS s_value",
+        f"{result} AS result",
         # output time = the earlier partner (StreamJoiner.java:138-143)
-        F.least(F.col("__r.t"), F.col("__s.t")).alias("out_ts"),
-        power_level(result).alias("level"),
+        "least(__r.t, __s.t) AS out_ts",
+        # 5-band power level (power_level, StreamJoiner.java:154-169)
+        f"CAST(floor({result} / CAST('20000.1' AS DOUBLE) * 5) AS INT) AS level",
     )

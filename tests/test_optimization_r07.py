@@ -249,3 +249,112 @@ def test_nn_join_array_compact_pairset_unchanged(spark, events=None):
         for i, j in zip(ri, si):
             ref.append((uid, int(rr[i]), int(ss[j])))
     assert got == sorted(ref)
+
+
+def test_nn_join_one_source_matches_two_frame(rand_events):
+    """Single-scan CASE-tagged merged stream == two-filtered-frames union,
+    including Δ-banded form and foreign side values being dropped."""
+    from statefulstreamprocessor_spark.operators.nn_join import (
+        nn_join,
+        nn_join_one_source,
+    )
+
+    # inject a third side value that both forms must ignore
+    extra = rand_events.limit(5).withColumn("side", F.lit("x"))
+    ev = rand_events.unionByName(extra)
+    r = ev.filter(F.col("side") == "r").drop("side")
+    s = ev.filter(F.col("side") == "s").drop("side")
+    for delta in (None, 3600.0):
+        old = nn_join(r, s, "user_id", "ts", delta=delta)
+        new = nn_join_one_source(
+            ev, "user_id", "ts", "side", "r", "s", delta=delta
+        )
+        assert old.schema == new.schema
+        assert sorted(map(tuple, old.collect())) == sorted(
+            map(tuple, new.collect())
+        )
+
+
+def test_asof_sql_fast_path_matches_column_core(rand_events):
+    """The SQL-string as-of fast path == the per-Column window core, both
+    directions, with exact cross-side ties present in the fixture."""
+    from statefulstreamprocessor_spark.operators import asof as asof_mod
+
+    left = rand_events.filter(F.col("side") == "r").select(
+        "user_id", "ts", "value"
+    )
+    right = rand_events.filter(F.col("side") == "s").select(
+        "user_id", "ts", "value"
+    )
+    for direction in ("backward", "forward"):
+        fast = asof_mod.asof_join(
+            left, right, "user_id", "ts", direction=direction
+        )
+        merged, lp, rp = asof_mod._merge_sides(
+            left, right, ["user_id"], "ts"
+        )
+        ref = asof_mod._asof_core(
+            merged, ["user_id"], ["user_id"], "ts", direction, None,
+            "timestamp_ntz", lp, rp, "right_",
+        )
+        assert fast.schema == ref.schema
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, ref.collect())
+        )
+
+
+def test_windowed_latest_pair_sql_tail_matches_column_reference(rand_events):
+    """The SQL-expression-string aggregation tail (max_by + power
+    derivation) == a per-Column reference built inline, bit-identical
+    doubles included."""
+    import math
+
+    from pyspark.sql import functions as SF
+
+    from statefulstreamprocessor_spark.operators.windows import (
+        windowed_latest_pair,
+    )
+
+    out = windowed_latest_pair(
+        rand_events, ["user_id"], "ts", "side", "value",
+        "1 hour", "15 minutes",
+    )
+    is_r = SF.col("side") == "r"
+    g = rand_events.groupBy(
+        SF.window("ts", "1 hour", "15 minutes").alias("__w"), "user_id"
+    )
+    paired = g.agg(
+        SF.max_by(
+            SF.when(is_r, SF.struct(SF.col("ts").alias("t"), SF.col("value").alias("v"))),
+            SF.when(is_r, SF.col("ts")),
+        ).alias("__r"),
+        SF.max_by(
+            SF.when(~is_r, SF.struct(SF.col("ts").alias("t"), SF.col("value").alias("v"))),
+            SF.when(~is_r, SF.col(("ts"))),
+        ).alias("__s"),
+    ).filter(SF.col("__r").isNotNull() & SF.col("__s").isNotNull())
+    factor = 2 * math.pi / 60
+    result = SF.least(
+        SF.lit(20000.0), SF.abs(SF.lit(factor) * SF.col("__r.v") * SF.col("__s.v"))
+    )
+    ref = paired.select(
+        SF.col("__w.start").alias("window_start"),
+        SF.col("__w.end").alias("window_end"),
+        "user_id",
+        SF.col("__r.t").alias("r_ts"),
+        SF.col("__r.v").alias("r_value"),
+        SF.col("__s.t").alias("s_ts"),
+        SF.col("__s.v").alias("s_value"),
+        result.alias("result"),
+        SF.least(SF.col("__r.t"), SF.col("__s.t")).alias("out_ts"),
+        SF.floor(result / SF.lit(20000.1) * 5).cast("int").alias("level"),
+    )
+    # names + types; nullability is not part of the oracle contract (the
+    # SQL-literal CAST makes `result`/`level` non-nullable where the
+    # Column reference's F.lit form is nullable)
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        (f.name, f.dataType) for f in ref.schema.fields
+    ]
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
