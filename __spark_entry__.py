@@ -3121,8 +3121,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # numpy cosine_topk scorer, the lambda-free ngram grams feeding
     # ngram_jaccard/dedup_clusters/split_leakage_safe and
     # doc_ngram_repetition, windowed_latest_pair's prefilter, the
-    # two-phase sliding count, session_agg's keyed pre-partition), then
-    # the rest of the 43 r06-unrecorded queries. That fills the 50 slots
+    # two-phase sliding count, session_agg's keyed pre-partition; the
+    # continuation sitting added: the single-scan nn_join_one_source
+    # behind nn_pair_join/_delta, the SQL-string tolerance-free as-of
+    # behind asof_backward/forward, the SQL-expression latest-pair tail,
+    # and the session-scoped _load schema memo — all inside this
+    # prefix), then the rest of the 43 r06-unrecorded queries. That fills the 50 slots
     # except that five doubly-green untouched scalar queries
     # (normalize_ts, series_key_route, lang_id, stats_summary,
     # value_histogram — r05-recorded, code byte-untouched since, re-swept
