@@ -87,12 +87,16 @@ def shuffle_shards(
     )
     k, n = int(n_shards), int(n_rows)
     shard = F.expr(f"(__m * {k}) div {n}")
+    # backtick-quote the caller-supplied output column (ADVICE r06): a
+    # shard_col with spaces/dots/hyphens would otherwise break the parse
+    # or resolve to the wrong expression (k and n are int()-sanitized)
+    sq = "`" + shard_col.replace("`", "``") + "`"
     return (
         ranked.withColumn(shard_col, shard)
         .withColumn(
             pos_col,
             F.col("__m")
-            - F.expr(f"({shard_col} * {n} + {k} - 1) div {k}"),
+            - F.expr(f"({sq} * {n} + {k} - 1) div {k}"),
         )
         .drop("__h", "__b", "__off", "__m")
     )

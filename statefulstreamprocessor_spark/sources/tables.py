@@ -549,10 +549,13 @@ class TableHandle:
         under replay — re-merging an already-applied batch changes
         nothing — the contract the reference's InfluxDB sink gets from
         tags+time upserts (reference ``db_connector.py:53-66``). The
-        condition must never evaluate NULL for a matched pair (use
-        null-safe comparisons for nullable columns): both the replace
-        and the keep decision treat NULL as "condition failed", which
-        would keep the target row AND insert the source row.
+        condition may evaluate NULL for a matched pair (a nullable
+        order column, say): NULL is treated as "condition did not
+        fire" on BOTH sides — the target row stays and the source row
+        is consumed without inserting, exactly like SQL MERGE's
+        ``WHEN MATCHED AND <cond>`` with an unknown condition
+        (ADVICE r06: the two anti-joins previously both kept their row
+        on NULL, duplicating the key).
 
         ``update_exprs`` (Iceberg ``WHEN MATCHED THEN UPDATE SET``):
         per-column SQL expressions over aliases ``t``/``s`` applied to
@@ -738,12 +741,19 @@ class TableHandle:
                         "left_anti",
                     )
                 )
+                # NULL condition == clause does not fire (SQL MERGE
+                # semantics): the survivors side already keeps the
+                # target on NULL (keys & NULL is not TRUE for the anti
+                # join), so the winners side must DROP the matched
+                # source row on NULL too — `cond IS NOT TRUE`, not
+                # `~cond` (which is NULL on NULL and kept the source,
+                # duplicating the key — ADVICE r06)
                 winners = (
                     src_declared.alias("s")
                     .join(
                         tgt.alias("t"),
                         functools.reduce(lambda a, b: a & b, keys_eq)
-                        & ~cond,
+                        & F.expr(f"({match_condition}) IS NOT TRUE"),
                         "left_anti",
                     )
                     if when_matched == "update"

@@ -105,6 +105,14 @@ def streaming_rolling_zscore(
         n_buckets = max(df.sparkSession.sparkContext.defaultParallelism * 8, 16)
     ttl_us = None if state_ttl is None else int(float(state_ttl) * 1_000_000)
     keys_l = list(keys)
+    # output-name collision guard (same contract as streaming_quota /
+    # streaming asof, ADVICE r06): a key or value column named like an
+    # output/internal column would silently clobber or duplicate columns
+    reserved = {ts_col, id_col, "n_obs", "z", "is_anomaly", "__bucket"}
+    if reserved & set([*keys_l, value_col]):
+        raise ValueError(
+            f"keys/value_col may not collide with {sorted(reserved)}"
+        )
     thr = float(threshold)
     w = int(window_rows)
 

@@ -519,6 +519,32 @@ def test_merge_into_match_condition_latest_wins(spark, tmp_path):
     }
 
 
+def test_merge_into_null_condition_does_not_duplicate(spark, tmp_path):
+    """ADVICE r06: a match_condition that evaluates NULL for a matched
+    pair (nullable order column) must behave as 'clause did not fire' —
+    target kept, source consumed WITHOUT inserting. The old winners-side
+    `~cond` anti-join kept the source on NULL, duplicating the key."""
+    t = create_table(spark, str(tmp_path / "t"), DDL)
+    t.append(_rows(spark, 3))  # u0..u2, n = 0..2
+    cond = "t.n <= s.n"
+
+    # s.n NULL -> cond NULL for the matched pair u1
+    null_src = spark.createDataFrame([("u1", None, "en", None)], DDL)
+    t.merge_into(null_src, ["url"], match_condition=cond)
+    rows = t.read().collect()
+    urls = [r["url"] for r in rows]
+    assert sorted(urls) == ["u0", "u1", "u2"]  # no duplicate key
+    got = {r["url"]: r["n"] for r in rows}
+    assert got["u1"] == 1  # target kept, NULL-source dropped
+
+    # an unmatched source row with NULL n still inserts (no key match,
+    # the condition never evaluates)
+    new_src = spark.createDataFrame([("u7", None, "de", None)], DDL)
+    t.merge_into(new_src, ["url"], match_condition=cond)
+    got = {r["url"]: r["n"] for r in t.read().collect()}
+    assert set(got) == {"u0", "u1", "u2", "u7"} and got["u7"] is None
+
+
 def test_changelog_between_arbitrary_versions(spark, tmp_path):
     """Round-6 incremental CDC: changelog(from, to) over any two retained
     versions nets the whole range — an upsert-then-delete inside the

@@ -999,6 +999,14 @@ def test_shuffle_shards_matches_global_sort(spark):
     with _pytest.raises(ValueError, match="n_shards"):
         shuffle_shards(df, "doc_id", 0, "s1")
 
+    # ADVICE r06: non-plain output column names must parse (the shard
+    # column is interpolated into a SQL expression — now backtick-quoted)
+    weird = shuffle_shards(df, "doc_id", k, "s1", shard_col="my shard.col")
+    plain = shuffle_shards(df, "doc_id", k, "s1")
+    assert sorted(
+        (r["doc_id"], r["my shard.col"], r["pos"]) for r in weird.collect()
+    ) == sorted((r["doc_id"], r["shard"], r["pos"]) for r in plain.collect())
+
 
 def test_mixture_interleave_exact_and_fail_closed(spark):
     """Round-6 mixture_interleave: floor(w) full epochs + exact

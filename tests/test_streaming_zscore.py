@@ -205,6 +205,11 @@ def test_streaming_zscore_args(spark):
         streaming_rolling_zscore(
             df, "user_id", "ts", "event_id", "value", min_obs=1
         )
+    # ADVICE r06: reserved output-name collision fails LOUD (same
+    # contract as streaming_quota) instead of silently clobbering
+    zdf = df.selectExpr("user_id", "ts", "event_id", "value AS z")
+    with pytest.raises(ValueError, match="collide"):
+        streaming_rolling_zscore(zdf, "user_id", "ts", "event_id", "z")
 
 
 def test_streaming_zscore_null_values_match_batch(spark, tmp_path):
