@@ -244,13 +244,13 @@ def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tumbling_agg(
         ev, "ts", "1 hour", keys=["event_type"],
         aggs=[
-            F.count(F.lit(1)).alias("n"),
+            F.expr("count(1)").alias("n"),
             # exact decimal sum, emitted as double: the driver gate
             # canonicalizes DECIMAL differently than DuckDB renders it
             # (round-1 hash FAIL); double-from-exact-decimal is byte-stable
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_value"),
+            F.expr(
+                "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("sum_value"),
         ],
     )
     return out.selectExpr(
@@ -283,7 +283,7 @@ def q_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _load(spark, sf_dir, "events")
     out = session_agg(
         ev, "ts", "30 minutes", keys=["user_id"],
-        aggs=[F.count(F.lit(1)).alias("n")],
+        aggs=[F.expr("count(1)").alias("n")],
         min_input_partitions=spark.sparkContext.defaultParallelism,
     )
     return out.selectExpr(
@@ -2351,11 +2351,19 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _char_gram_set(text: F.Column, k: int = 5) -> F.Column:
-    """Distinct character k-gram set as an array column (pure Catalyst)."""
+    """Distinct character k-grams carried as xxhash64(gram) — an array of
+    LONGS, so the rescore's ``array_intersect``/``size`` run on primitive
+    elements. ``ArrayIntersect`` is CodegenFallback (interpreted, boxing
+    every element): the string-element form measured 13 s for the
+    132k-candidate rescore at sf0.1 vs 6 s hashed (optimization round 7).
+    Distinct counts and intersection sizes equal the string form's modulo
+    64-bit collisions — the same hash-carry ``ngram_jaccard_pairs``
+    documents — and the all-pairs DuckDB oracle verifies the resulting
+    pair set exactly."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.length(text) - k),
-            lambda i: text.substr(i + 1, F.lit(k)),
+            lambda i: F.xxhash64(text.substr(i + 1, F.lit(k))),
         )
     )
 
@@ -2375,8 +2383,15 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_package_shipped(spark)
     docs = _load(spark, sf_dir, "documents").filter(F.length("text") >= 5)
-    cands = minhash_lsh_candidates(docs, "text", "doc_id")
-    grams = docs.select(
+    # single-row-group local input: fan the signature UDF and the
+    # (interpreted higher-order) gram build out of the one-task scan
+    # (optimization round 7 — measured 35 s -> ~4 s at sf0.1; on a
+    # many-split cluster scan the knob stays None)
+    dp = spark.sparkContext.defaultParallelism
+    cands = minhash_lsh_candidates(
+        docs, "text", "doc_id", min_input_partitions=dp
+    )
+    grams = docs.repartition(dp).select(
         F.col("doc_id"), _char_gram_set(F.col("text")).alias("g")
     )
     ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))

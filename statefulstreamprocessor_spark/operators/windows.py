@@ -22,9 +22,35 @@ All are single-shuffle groupBy plans; the latest-pair uses ``max_by``
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# plain SQL identifier — window tails build as one selectExpr parse RPC
+# when every involved name is plain (guide §1.2 step 2: per-plan driver
+# cost); the Column path remains for anything else
+_PLAIN_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _window_tail(
+    out: DataFrame, keys: list[str], start_alias: str, end_alias: str
+) -> DataFrame:
+    """Shared select tail: __w struct → (start, end, keys..., aggs...)."""
+    rest = [c for c in out.columns if c not in ["__w", *keys]]
+    if all(_PLAIN_IDENT.match(c) for c in [*keys, *rest]):
+        return out.selectExpr(
+            f"__w.start AS {start_alias}",
+            f"__w.end AS {end_alias}",
+            *[f"`{k}`" for k in keys],
+            *[f"`{c}`" for c in rest],
+        )
+    return out.select(
+        F.col("__w.start").alias(start_alias),
+        F.col("__w.end").alias(end_alias),
+        *keys,
+        *[F.col(c) for c in rest],
+    )
 
 __all__ = [
     "tumbling_agg",
@@ -50,12 +76,7 @@ def tumbling_agg(
     keys = keys or []
     aggs = aggs or [F.count(F.lit(1)).alias("n")]
     out = df.groupBy(F.window(ts_col, duration).alias("__w"), *keys).agg(*aggs)
-    return out.select(
-        F.col("__w.start").alias("window_start"),
-        F.col("__w.end").alias("window_end"),
-        *keys,
-        *[F.col(c) for c in out.columns if c not in ["__w", *keys]],
-    )
+    return _window_tail(out, keys, "window_start", "window_end")
 
 
 def sliding_agg(
@@ -70,12 +91,7 @@ def sliding_agg(
     keys = keys or []
     aggs = aggs or [F.count(F.lit(1)).alias("n")]
     out = df.groupBy(F.window(ts_col, size, slide).alias("__w"), *keys).agg(*aggs)
-    return out.select(
-        F.col("__w.start").alias("window_start"),
-        F.col("__w.end").alias("window_end"),
-        *keys,
-        *[F.col(c) for c in out.columns if c not in ["__w", *keys]],
-    )
+    return _window_tail(out, keys, "window_start", "window_end")
 
 
 _UNIT_SECONDS = {
@@ -124,6 +140,30 @@ def sliding_count_agg(
     pre = df.groupBy(F.window(ts_col, slide).alias("__b"), *keys).agg(
         F.count(F.lit(1)).alias("__n")
     )
+    if all(_PLAIN_IDENT.match(c) for c in [*keys, count_alias]):
+        # SQL-string tail (one parse RPC per select; `size`/`slide` are
+        # _interval_seconds-validated '<n> <unit>' strings, safe inline)
+        kq = [f"`{k}`" for k in keys]
+        ex = pre.selectExpr(
+            *kq,
+            "__n",
+            "__b.start AS __bs",
+            f"explode(sequence(0, {ratio - 1})) AS __i",
+        ).selectExpr(
+            *kq,
+            "__n",
+            f"__bs - __i * INTERVAL {slide} AS window_start",
+        )
+        return (
+            ex.groupBy("window_start", *keys)
+            .agg(F.expr("CAST(sum(__n) AS BIGINT)").alias(count_alias))
+            .selectExpr(
+                "window_start",
+                f"window_start + INTERVAL {size} AS window_end",
+                *kq,
+                f"`{count_alias}`",
+            )
+        )
     ex = pre.select(
         *keys,
         "__n",
@@ -176,12 +216,7 @@ def session_agg(
         df = df.repartition(min_input_partitions, *keys)
     g = df.groupBy(F.session_window(ts_col, gap).alias("__w"), *keys)
     out = g.agg(*aggs)
-    return out.select(
-        F.col("__w.start").alias("session_start"),
-        F.col("__w.end").alias("session_end"),
-        *keys,
-        *[F.col(c) for c in out.columns if c not in ["__w", *keys]],
-    )
+    return _window_tail(out, keys, "session_start", "session_end")
 
 
 def power_level(result: Column) -> Column:
