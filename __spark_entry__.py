@@ -1875,15 +1875,28 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct flagged ids aggregate. Eval set = every 31st doc."""
     docs = _load(spark, sf_dir, "documents")
     n = 5
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.xxhash64(F.slice(toks, i + 1, n)),
+    # lambda-free gram pipeline (optimization round 7): same arrays_zip
+    # construction as ngram_jaccard_pairs — the transform/xxhash64(slice)
+    # fold is CodegenFallback and ran on the single-task scan (measured
+    # 3.2 s at sf0.1, now 0.6 s). Gram equality classes are unchanged
+    # (struct equality == token-window equality, hash applied identically
+    # on both join sides); a NULL text keeps its NULL gram (never joins),
+    # as before. The repartition fans the gram build out of the one-task
+    # local scan; a many-split cluster scan would not need it.
+    toks_s = "split(lower(trim(`text`)), '\\\\s+')"
+    len_s = f"greatest(size({toks_s}) - {n - 1}, 1)"
+    zip_s = "arrays_zip(" + ", ".join(
+        f"slice({toks_s}, {i + 1}, {len_s})" for i in range(n)
+    ) + ")"
+    g = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .selectExpr("doc_id", f"array_distinct({zip_s}) AS __dz")
+        .selectExpr("doc_id", "explode_outer(__dz) AS __gs")
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN __gs IS NULL THEN CAST(NULL AS BIGINT) "
+            "ELSE xxhash64(__gs) END AS gram",
         )
-    )
-    g = docs.select("doc_id", grams.alias("grams")).select(
-        "doc_id", F.explode_outer("grams").alias("gram")
     )
     eval_grams = F.broadcast(
         g.filter(F.col("doc_id") % 31 == 0).select("gram").distinct()
@@ -2420,7 +2433,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_package_shipped(spark)
     docs = _load(spark, sf_dir, "documents")
     return (
-        simhash_candidates(docs, "text", "doc_id", k=3, chunks=4)
+        simhash_candidates(
+            docs, "text", "doc_id", k=3, chunks=4,
+            min_input_partitions=spark.sparkContext.defaultParallelism,
+        )
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
     )

@@ -234,6 +234,7 @@ def simhash_candidates(
     k: int = 3,
     chunks: int = 4,
     max_bucket_size: int = 1024,
+    min_input_partitions: int | None = None,
 ) -> DataFrame:
     """Hamming-≤(chunks-1) candidates by pigeonhole chunk equality.
 
@@ -247,6 +248,10 @@ def simhash_candidates(
     recall/cost knob, observable (not silent) via the
     ``simhash_capped_buckets`` ``observe()`` metric.
     """
+    # fan the signature UDF out of a few-split scan (same knob and
+    # rationale as minhash_lsh_candidates / ngram_jaccard_pairs)
+    if min_input_partitions is not None:
+        df = df.repartition(min_input_partitions)
     sh = simhash_udf(k)
     with_h = df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("h"))
     width = 64 // chunks

@@ -87,6 +87,27 @@ def cosine_sim_fixed_col(a: Column, b: Column, dim: int) -> Column:
     )
 
 
+def _dot_fixed_sql(a: str, b: str, dim: int) -> str:
+    """SQL-string form of :func:`dot_fixed_col` over plain column names —
+    the identical left-associated expression (SQL ``+`` is
+    left-associative, ``x[i]`` is ``getItem(i)``), parsed JVM-side in ONE
+    RPC. The per-Column construction costs ~6 py4j round-trips per
+    dimension — ~0.4 s of driver time per cosine at dim 64, paid on every
+    plan build (optimization round 7, guide §1.2 step 2)."""
+    return " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
+        for i in range(dim)
+    )
+
+
+def _cosine_sim_fixed_sql(a: str, b: str, dim: int) -> str:
+    """SQL-string form of :func:`cosine_sim_fixed_col` (bit-equal)."""
+    return (
+        f"({_dot_fixed_sql(a, b, dim)}) / (SQRT({_dot_fixed_sql(a, a, dim)})"
+        f" * SQRT({_dot_fixed_sql(b, b, dim)}))"
+    )
+
+
 def _local_topk_reducer(group_col: str, order_col: str, tie_col: str, k: int):
     """mapInPandas stage: keep the k best rows per group within each Arrow
     batch — a superset of the global top-k, so correctness is unchanged
@@ -387,10 +408,15 @@ def cosine_near_dup_pairs(
         .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    vq = f"`{vec_col}`" if "`" not in vec_col else None
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        F.sqrt(dot_fixed_col(F.col(vec_col), F.col(vec_col), dim)).alias("n"),
+        (
+            F.expr(f"SQRT({_dot_fixed_sql(vq, vq, dim)})")
+            if vq is not None
+            else F.sqrt(dot_fixed_col(F.col(vec_col), F.col(vec_col), dim))
+        ).alias("n"),
     )
     va = vecs.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
@@ -401,11 +427,10 @@ def cosine_near_dup_pairs(
     if broadcast_vectors:
         va, vb = F.broadcast(va), F.broadcast(vb)
     scored = pairs.join(va, "id_a").join(vb, "id_b")
-    # codegen'd unrolled rescore (the fold form runs interpreted)
-    sim = F.round(
-        dot_fixed_col(F.col("va"), F.col("vb"), dim)
-        / (F.col("na") * F.col("nb")),
-        4,
+    # codegen'd unrolled rescore (the fold form runs interpreted);
+    # SQL-string construction — one parse RPC, see _dot_fixed_sql
+    sim = F.expr(
+        f"round(({_dot_fixed_sql('va', 'vb', dim)}) / (na * nb), 4)"
     )
     return scored.select("id_a", "id_b", sim.alias("sim")).filter(
         F.col("sim") >= threshold
@@ -527,7 +552,9 @@ def cosine_topk_ivf(
         F.explode(query_cells(F.col(vec_col))).alias("cell"),
     )
     joined = c.join(F.broadcast(q), "cell").filter(F.col(id_col) != F.col(q_id))
-    sim = F.round(cosine_sim_fixed_col(F.col("__qv"), F.col("__cv"), dim), 4)
+    # SQL-string construction of the unrolled cosine — one parse RPC vs
+    # ~1,100 py4j round-trips per plan build at dim 64 (_dot_fixed_sql)
+    sim = F.expr(f"round({_cosine_sim_fixed_sql('__qv', '__cv', dim)}, 4)")
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(id_col))
     return (
         joined.select(q_id, id_col, sim.alias("sim"))
@@ -579,7 +606,9 @@ def cosine_topk_lsh(
     )
     # rank on the rounded sim (ascending-id tiebreak) — same total order
     # as cosine_topk and the SQL oracle; unrolled dot stays in codegen
-    sim = F.round(cosine_sim_fixed_col(F.col("__qv"), F.col("__cv"), dim), 4)
+    # SQL-string construction of the unrolled cosine — one parse RPC vs
+    # ~1,100 py4j round-trips per plan build at dim 64 (_dot_fixed_sql)
+    sim = F.expr(f"round({_cosine_sim_fixed_sql('__qv', '__cv', dim)}, 4)")
     w = Window.partitionBy(f"{query_prefix}{id_col}").orderBy(
         F.desc("sim"), F.asc(id_col)
     )
