@@ -358,3 +358,172 @@ def test_windowed_latest_pair_sql_tail_matches_column_reference(rand_events):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, ref.collect())
     )
+
+
+@pytest.fixture(scope="module")
+def messy_docs(spark):
+    """Randomized docs with near-dup clusters, short docs, messy
+    whitespace, empty and NULL texts — the shapes the minhash /
+    decontamination gram arguments lean on."""
+    rng = random.Random(23)
+    words = [f"w{i}" for i in range(50)]
+    rows = []
+    doc_id = 0
+    for cluster in range(20):
+        base = [rng.choice(words) for _ in range(rng.randint(1, 60))]
+        for variant in range(rng.randint(1, 5)):
+            toks = list(base)
+            for _ in range(rng.randint(0, 2)):
+                if toks:
+                    toks[rng.randrange(len(toks))] = rng.choice(words)
+            sep = "  " if variant % 2 else " "
+            rows.append((doc_id, sep.join(toks)))
+            doc_id += 1
+    rows += [(doc_id, ""), (doc_id + 1, None), (doc_id + 2, "one")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_pair_explode_matches_nested_transform(messy_docs):
+    """Round-7: the in-bucket pair generation moved from the interpreted
+    nested transform/flatten form to chained codegen explodes — the
+    (id_a, id_b, n_bands) multiset must be identical."""
+    from statefulstreamprocessor_spark.operators.dedup import (
+        band_bucket_explode,
+        minhash_lsh_candidates,
+        minhash_signature_udf,
+    )
+
+    docs = messy_docs.filter(F.length("text") >= 5)
+    new = minhash_lsh_candidates(
+        docs, "text", "doc_id", min_input_partitions=4
+    )
+    # the pre-round-7 nested-transform pairing, inline
+    sig = minhash_signature_udf(5, 64)
+    with_sig = docs.repartition(4).select(
+        F.col("doc_id").alias("id"), sig(F.col("text")).alias("sig")
+    )
+    grouped = (
+        band_bucket_explode(with_sig, 16, 4)
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .withColumn("ids", F.slice("ids", 1, 64))
+    )
+    old = (
+        grouped.filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("ids"),
+                            lambda x: F.transform(
+                                F.col("ids"),
+                                lambda y: F.when(
+                                    x < y, F.struct(x.alias("a"), y.alias("b"))
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p.isNotNull(),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    got = sorted(map(tuple, new.collect()))
+    assert got == sorted(map(tuple, old.collect()))
+    assert len(got) > 0  # near-dup clusters must collide
+
+
+def test_dot_fixed_sql_is_bit_equal_to_column_form(spark):
+    """Round-7: the unrolled dot/cosine now parse as ONE SQL expression;
+    the doubles must be bit-identical to the Column-built tree (same
+    left-associated summation)."""
+    from statefulstreamprocessor_spark.operators.similarity import (
+        _cosine_sim_fixed_sql,
+        _dot_fixed_sql,
+        cosine_sim_fixed_col,
+        dot_fixed_col,
+    )
+
+    rng = random.Random(11)
+    dim = 64
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)],
+         [rng.uniform(-1, 1) for _ in range(dim)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, f"id long, a array<double>, b array<double>"
+    )
+    out = df.select(
+        "id",
+        F.expr(_dot_fixed_sql("a", "b", dim)).alias("dot_sql"),
+        dot_fixed_col(F.col("a"), F.col("b"), dim).alias("dot_col"),
+        F.expr(_cosine_sim_fixed_sql("a", "b", dim)).alias("cos_sql"),
+        cosine_sim_fixed_col(F.col("a"), F.col("b"), dim).alias("cos_col"),
+    ).collect()
+    import struct as _struct
+
+    for r in out:
+        assert _struct.pack("<d", r["dot_sql"]) == _struct.pack(
+            "<d", r["dot_col"]
+        )
+        assert _struct.pack("<d", r["cos_sql"]) == _struct.pack(
+            "<d", r["cos_col"]
+        )
+
+
+def test_hashed_char_gram_rescore_matches_string_reference(spark, request):
+    """Round-7: the minhash rescore carries char-5-grams as xxhash64
+    longs; the per-pair jaccard must equal the string-set form on messy
+    near-dup texts (collision-free by construction here, as on the gate
+    data — the all-pairs oracle would catch a real collision)."""
+    rng = random.Random(5)
+    alphabet = "abcdef gh"
+    rows = []
+    for i in range(60):
+        base = "".join(rng.choice(alphabet) for _ in range(rng.randint(5, 120)))
+        rows.append((2 * i, base))
+        # near-dup: one edit
+        pos = rng.randrange(len(base))
+        rows.append((2 * i + 1, base[:pos] + rng.choice(alphabet) + base[pos + 1:]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+
+    hashed = docs.select(
+        "doc_id", entry_mod._char_gram_set(F.col("text")).alias("g")
+    )
+    strings = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.length("text") - 5),
+                lambda i: F.col("text").substr(i + 1, F.lit(5)),
+            )
+        ).alias("g"),
+    )
+    pairs = spark.createDataFrame(
+        [(2 * i, 2 * i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+
+    def jacc(grams):
+        ga = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+        gb = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+        ni = F.size(F.array_intersect("ga", "gb"))
+        return (
+            pairs.join(ga, "id_a").join(gb, "id_b")
+            .select(
+                "id_a", "id_b",
+                F.round(ni / (F.size("ga") + F.size("gb") - ni), 6).alias("j"),
+            )
+        )
+
+    assert sorted(map(tuple, jacc(hashed).collect())) == sorted(
+        map(tuple, jacc(strings).collect())
+    )
