@@ -3210,12 +3210,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # behind nn_pair_join/_delta, the SQL-string tolerance-free as-of
     # behind asof_backward/forward, the SQL-expression latest-pair tail,
     # and the session-scoped _load schema memo — all inside this
-    # prefix), then the rest of the 43 r06-unrecorded queries. That fills the 50 slots
-    # except that five doubly-green untouched scalar queries
-    # (normalize_ts, series_key_route, lang_id, stats_summary,
-    # value_histogram — r05-recorded, code byte-untouched since, re-swept
-    # hash-exact at sf0.01 every round) spill to 51-55; r06 ∪ r07 covers
-    # every query that changed in either round.
+    # prefix; the THIRD sitting added ten more r06-recorded changed paths
+    # — tumbling's SQL window tail, the SQL-string unrolled cosine behind
+    # ann lsh/ivf/embedding_near_dup, the hashed-gram rescore shared by
+    # minhash_lsh/streaming_minhash, shuffle_shards' shard-column
+    # quoting, the merge NULL-condition semantics behind
+    # table_merge/incremental_rollup/streaming_upsert, and
+    # streaming_zscore's reserved-name guard), then the rest of the 43
+    # r06-unrecorded queries. That fills the 50 slots except that FIFTEEN
+    # doubly-green untouched queries (normalize_ts, series_key_route,
+    # lang_id, stats_summary, value_histogram, html_extract,
+    # link_extract, link_graph_degree, doc_repetition, pii_scrub,
+    # url_normalize, domain_rollup, compression_ratio, hash_sample,
+    # pack_sequences — r05-recorded, code byte-untouched since, re-swept
+    # rows+schema+hash-exact at sf0.01 in THREE full 93-query sweeps this
+    # round) spill to 51-65; every query whose code changed in round 6 or
+    # round 7 is recorded in r06 or r07.
     qs = {
         # r06-unrecorded AND r06-refactored — fresh row first (VERDICT #1)
         "minhash_lsh": q_minhash_lsh,
@@ -3236,8 +3246,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_1h_15m": q_sliding_1h_15m,
         "session_30m": q_session_30m,
         "split_leakage_safe": q_split_leakage_safe,
+        # r07 third-sitting-changed code paths (r06-recorded, re-recorded):
+        # window-tail/entry-agg SQL strings (tumbling), size-adaptive +
+        # SQL-string unrolled cosine (ann lsh/ivf, embedding_near_dup),
+        # hashed-gram rescore shared with minhash (streaming_minhash),
+        # shard-column quoting (shuffle_shards), merge NULL-condition
+        # semantics (table_merge, incremental_rollup, streaming_upsert),
+        # reserved-name guard (streaming_zscore)
+        "tumbling_hourly": q_tumbling_hourly,
+        "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
+        "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
+        "streaming_minhash": q_streaming_minhash,
+        "shuffle_shards": q_shuffle_shards,
+        "table_merge": q_table_merge,
+        "incremental_rollup": q_incremental_rollup,
+        "streaming_upsert": q_streaming_upsert,
+        "streaming_zscore": q_streaming_zscore,
         # remaining r06-unrecorded (r05-recorded green, untouched)
-        "compression_ratio": q_compression_ratio,
         "gopher_filter": q_gopher_filter,
         "clean_pipeline": q_clean_pipeline,
         "length_balanced_sample": q_length_balanced_sample,
@@ -3253,6 +3279,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_lineitem": q_unpivot_lineitem,
         "text_quality": q_text_quality,
         "salted_agg": q_salted_agg,
+        "vocab_topk": q_vocab_topk,
+        "decontaminate_exact": q_decontaminate_exact,
+        "decontaminate_ngram": q_decontaminate_ngram,
+        "series_derivative": q_series_derivative,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
+        "sessionize_banded": q_sessionize_banded,
+        "series_derivative_banded": q_series_derivative_banded,
+        # past position 50 — the fifteen spilled doubly-green untouched
+        # queries (see header comment), then the r06-recorded untouched set
+        "normalize_ts": q_normalize_ts,
+        "series_key_route": q_series_key_route,
+        "lang_id": q_lang_id,
+        "stats_summary": q_stats_summary,
+        "value_histogram": q_value_histogram,
         "html_extract": q_html_extract,
         "link_extract": q_link_extract,
         "link_graph_degree": q_link_graph_degree,
@@ -3260,37 +3302,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "url_normalize": q_url_normalize,
         "domain_rollup": q_domain_rollup,
-        "vocab_topk": q_vocab_topk,
-        "decontaminate_exact": q_decontaminate_exact,
-        "decontaminate_ngram": q_decontaminate_ngram,
-        "series_derivative": q_series_derivative,
-        "pack_sequences": q_pack_sequences,
+        "compression_ratio": q_compression_ratio,
         "hash_sample": q_hash_sample,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_resize": q_multimodal_resize,
-        "sessionize_banded": q_sessionize_banded,
-        "series_derivative_banded": q_series_derivative_banded,
-        # past position 50 — the five spilled doubly-green scalar queries
-        # (see header comment), then the r06-recorded untouched set
-        "normalize_ts": q_normalize_ts,
-        "series_key_route": q_series_key_route,
-        "lang_id": q_lang_id,
-        "stats_summary": q_stats_summary,
-        "value_histogram": q_value_histogram,
+        "pack_sequences": q_pack_sequences,
         "nn_pair_join_streaming": q_nn_pair_join_streaming,
         "sessionize": q_sessionize,
         "funnel_3step": q_funnel_3step,
         "series_trend": q_series_trend,
         "resample_ffill": q_resample_ffill,
         "stratified_sample": q_stratified_sample,
-        "tumbling_hourly": q_tumbling_hourly,
         "tumbling_hourly_streaming": q_tumbling_hourly_streaming,
         "session_30m_streaming": q_session_30m_streaming,
         "dedup_exact": q_dedup_exact,
-        "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
-        "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
-        "embedding_near_dup": q_embedding_near_dup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "streaming_dedup": q_streaming_dedup,
         "streaming_enrich": q_streaming_enrich,
@@ -3298,16 +3321,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replay_pair_join": q_replay_pair_join,
         "streaming_asof": q_streaming_asof,
         "streaming_sessionize": q_streaming_sessionize,
-        "table_merge": q_table_merge,
         "time_travel": q_time_travel,
         "compact_latest": q_compact_latest,
-        "shuffle_shards": q_shuffle_shards,
-        "streaming_upsert": q_streaming_upsert,
         "mixture_interleave": q_mixture_interleave,
-        "streaming_minhash": q_streaming_minhash,
         "duplicate_spans": q_duplicate_spans,
         "chunk_docs": q_chunk_docs,
-        "incremental_rollup": q_incremental_rollup,
         "clustered_scan": q_clustered_scan,
         "streaming_quota": q_streaming_quota,
         "scd2_history": q_scd2_history,
@@ -3315,7 +3333,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "wet_roundtrip": q_wet_roundtrip,
         "rolling_zscore": q_rolling_zscore,
-        "streaming_zscore": q_streaming_zscore,
     }
     return {k: _shipped(v) for k, v in qs.items()}
 
